@@ -1,38 +1,38 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction slice at sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator with its
+DuckDB oracle (see geo_linked_open_data_kg_spark/queries.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from geo_linked_open_data_kg_spark import queries as q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG triples (direct-ID + admin + spatial) at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    direct = q.kg_direct_id_links(spark, sf_dir)
+    adm = q.kg_admin_triples(spark, sf_dir)
+    spat = q.kg_spatial_links(spark, sf_dir).drop("distance_km", "rank")
+    from pyspark.sql import functions as F
+    direct = direct.select("subj", "pred", "obj", "confidence", "evidence")
+    adm = adm.select("subj", "pred", "obj", "confidence", "evidence")
+    spat = spat.select("subj", "pred", "obj", "confidence", "evidence")
+    return direct.unionByName(adm).unionByName(spat)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(q.ORACLES)

@@ -1,0 +1,123 @@
+"""Spatial linking (reference J5/J6/G1/G2): cell-bucketed range join with
+top-k refinement and edge-type classification.
+
+Reference: scripts/linkers/link_spatial_optimized.py — a per-row Python loop
+issuing one bbox+distance Cypher query per source place (3.6 s/place naive,
+0.1 s/place optimized, SPATIAL_LINKING_OPTIMIZED.md:5-13,78-94). Spark shape:
+
+    probe (wd places)  --cover_cells(radius)--> explode -> equi-join on cell
+    build (gazetteer)  --cell_id-------------->
+    -> haversine refine (pure Column)  -> score (F2-F5)  -> window top-k (J6)
+    -> classify sameAs/locatedIn/nearTo (G1)
+
+The equi-join on cell id is a plain shuffle join: AQE skew-join splits hot
+urban cells; no per-country driver loop. Each (probe,build) pair appears at
+most once because the build side maps to exactly one cell.
+
+Determinism: candidate ranking is totally ordered (confidence DESC,
+distance ASC, geoname_id ASC) — the reference relied on implicit DB order
+(link_spatial_optimized.py:244-246).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geo_linked_open_data_kg_spark.functions.geo import (
+    cell_id,
+    haversine_km,
+    make_cover_cells_udf,
+)
+from geo_linked_open_data_kg_spark.functions.scoring import (
+    classify_edge,
+    confidence,
+    distance_score,
+    name_similarity,
+)
+
+
+def spatial_candidates(wd: DataFrame, places: DataFrame,
+                       feature_priority: DataFrame,
+                       wd_type_priority: DataFrame,
+                       radius_km: float = 10.0) -> DataFrame:
+    """All (wd place, gazetteer place) pairs within radius_km, scored.
+
+    Returns columns: qid, geoname_id, distance_km, name_sim, dist_score,
+    type_score, conf, wd_priority, gn_priority.
+    """
+    cover = make_cover_cells_udf(radius_km)
+    probe = (wd
+             .select("qid", F.col("name").alias("wd_name"),
+                     F.col("latitude").alias("wd_lat"),
+                     F.col("longitude").alias("wd_lon"),
+                     "instance_of_qid")
+             .withColumn("cell", F.explode(cover("wd_lat", "wd_lon"))))
+    build = (places
+             .select("geoname_id", F.col("name").alias("gn_name"),
+                     F.col("latitude").alias("gn_lat"),
+                     F.col("longitude").alias("gn_lon"),
+                     "feature_code", "population")
+             .withColumn("cell", cell_id("gn_lat", "gn_lon")))
+
+    pairs = (probe.join(build, "cell")
+             .withColumn("distance_km",
+                         haversine_km(F.col("wd_lat"), F.col("wd_lon"),
+                                      F.col("gn_lat"), F.col("gn_lon")))
+             .where(F.col("distance_km") <= radius_km))
+
+    # priorities via broadcast lookups (F5) — tiny dims, no shuffle
+    pairs = (pairs
+             .join(F.broadcast(feature_priority.withColumnRenamed(
+                 "priority", "gn_priority")), "feature_code", "left")
+             .join(F.broadcast(wd_type_priority.withColumnRenamed(
+                 "priority", "wd_priority")), "instance_of_qid", "left")
+             .fillna({"gn_priority": 50, "wd_priority": 50}))
+
+    ns = name_similarity(F.col("wd_name"), F.col("gn_name"))
+    ds = distance_score(F.col("distance_km"))
+    ts = F.col("gn_priority").cast("double") / 100.0
+    return (pairs
+            .withColumn("name_sim", ns)
+            .withColumn("dist_score", ds)
+            .withColumn("type_score", ts)
+            .withColumn("conf", confidence(F.col("dist_score"),
+                                           F.col("name_sim"),
+                                           F.col("type_score"))))
+
+
+def spatial_links(wd: DataFrame, places: DataFrame,
+                  feature_priority: DataFrame, wd_type_priority: DataFrame,
+                  radius_km: float = 10.0, k: int = 5,
+                  min_confidence: float = 0.5) -> DataFrame:
+    """Top-k candidates per wd place -> classified triples (G1).
+
+    Output: (subj, pred, obj, confidence, distance_km, evidence, rank).
+    """
+    cands = spatial_candidates(wd, places, feature_priority, wd_type_priority,
+                               radius_km)
+    w = (Window.partitionBy("qid")
+         .orderBy(F.col("conf").desc(), F.col("distance_km").asc(),
+                  F.col("geoname_id").asc()))
+    topk = (cands
+            .withColumn("rank", F.row_number().over(w))
+            .where((F.col("rank") <= k) & (F.col("conf") >= min_confidence)))
+    return topk.select(
+        F.col("qid").alias("subj"),
+        classify_edge(F.col("conf"), F.col("distance_km"),
+                      F.col("wd_priority"), F.col("gn_priority")).alias("pred"),
+        F.concat(F.lit("gn:"), F.col("geoname_id")).alias("obj"),
+        F.round(F.col("conf"), 4).alias("confidence"),
+        F.round(F.col("distance_km"), 4).alias("distance_km"),
+        F.lit("spatial_proximity").alias("evidence"),
+        F.col("rank"))
+
+
+def promote_near_to_same_as(links: DataFrame) -> DataFrame:
+    """G2: upgrade NEAR edges with conf>=0.85 & d<=1km
+    (link_by_geography.py:305-330)."""
+    return links.withColumn(
+        "pred",
+        F.when((F.col("pred") == "nearTo") & (F.col("confidence") >= 0.85)
+               & (F.col("distance_km") <= 1.0), F.lit("sameAs"))
+        .otherwise(F.col("pred")))

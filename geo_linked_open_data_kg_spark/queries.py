@@ -1,0 +1,231 @@
+"""Query registry: every implemented operator exposed as
+(spark, sf_dir) -> DataFrame, plus the equivalent DuckDB oracle SQL.
+
+The driver compares each pair at sf=0.01 (row count + schema +
+order-insensitive value hash), so:
+- every computed column is aliased identically on both sides;
+- floats are rounded identically on both sides;
+- DuckDB constants are cast to DOUBLE/BIGINT to match Spark types.
+
+Synth tables are addressed in oracle SQL via read_parquet('<abs path>');
+driver tables use the pre-registered views.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geo_linked_open_data_kg_spark.functions.geo import HAVERSINE_SQL_DUCKDB
+from geo_linked_open_data_kg_spark.functions.scoring import (
+    CLASSIFY_SQL,
+    CONFIDENCE_SQL,
+    DIST_SCORE_SQL,
+    NAME_SIM_SQL,
+)
+from geo_linked_open_data_kg_spark.operators import admin, direct_link, spatial
+from geo_linked_open_data_kg_spark.sources.registry import load, synth_path
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# sf0.01 synth paths baked into oracle strings (driver correctness runs at 0.01)
+_SF01 = "/root/testdata/sf0.01"
+
+
+def _sp(name: str) -> str:
+    return synth_path(_SF01, name)
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------- J1/J2 ----
+
+@register("kg_direct_id_links", f"""
+SELECT w.qid AS subj, 'sameAs' AS pred, 'gn:' || g.geoname_id AS obj,
+       CAST(1.0 AS DOUBLE) AS confidence, 'geonames_id_match' AS evidence
+FROM read_parquet('{_sp("wikidata_places")}') w
+JOIN read_parquet('{_sp("places")}') g
+  ON {direct_link.EXTRACT_ID_SQL.format(c="w.geonames_id")} = g.geoname_id
+WHERE w.geonames_id IS NOT NULL
+""")
+def kg_direct_id_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return direct_link.direct_id_links(
+        load(spark, sf_dir, "wikidata_places"), load(spark, sf_dir, "places"))
+
+
+# ------------------------------------------------------------------- J4 ----
+
+_ADMIN_ORACLE_PARTS = []
+for lvl in (1, 2, 3):
+    keys = " AND ".join(
+        [f"p.country_code = a.country_code"] +
+        [f"p.admin{i}_code = a.admin{i}_code" for i in range(1, lvl + 1)])
+    nn = " AND ".join(
+        [f"p.country_code IS NOT NULL"] +
+        [f"p.admin{i}_code IS NOT NULL" for i in range(1, lvl + 1)])
+    _ADMIN_ORACLE_PARTS.append(f"""
+SELECT 'gn:' || p.geoname_id AS subj, 'locatedInAdmin{lvl}' AS pred,
+       'gn:' || a.geoname_id AS obj, CAST(1.0 AS DOUBLE) AS confidence,
+       'admin_codes' AS evidence
+FROM read_parquet('{_sp("places")}') p
+JOIN read_parquet('{_sp("places")}') a
+  ON {keys} AND a.feature_code = 'ADM{lvl}'
+WHERE p.feature_class <> 'A' AND {nn}""")
+for lvl in (2, 3):
+    plvl = lvl - 1
+    keys = " AND ".join(
+        [f"c.country_code = p.country_code"] +
+        [f"c.admin{i}_code = p.admin{i}_code" for i in range(1, plvl + 1)])
+    nn = " AND ".join(
+        [f"c.country_code IS NOT NULL"] +
+        [f"c.admin{i}_code IS NOT NULL" for i in range(1, plvl + 1)])
+    _ADMIN_ORACLE_PARTS.append(f"""
+SELECT 'gn:' || c.geoname_id AS subj, 'partOf' AS pred,
+       'gn:' || p.geoname_id AS obj, CAST(1.0 AS DOUBLE) AS confidence,
+       'admin_codes' AS evidence
+FROM read_parquet('{_sp("places")}') c
+JOIN read_parquet('{_sp("places")}') p
+  ON {keys} AND p.feature_code = 'ADM{plvl}'
+WHERE c.feature_code = 'ADM{lvl}' AND {nn}""")
+_ADMIN_ORACLE_PARTS.append(f"""
+SELECT 'gn:' || geoname_id AS subj, 'locatedInCountry' AS pred,
+       'country:' || country_code AS obj, CAST(1.0 AS DOUBLE) AS confidence,
+       'country_code' AS evidence
+FROM read_parquet('{_sp("places")}') WHERE country_code IS NOT NULL""")
+
+
+@register("kg_admin_triples", "\nUNION ALL\n".join(_ADMIN_ORACLE_PARTS))
+def kg_admin_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return admin.admin_triples(load(spark, sf_dir, "places"))
+
+
+@register("kg_hierarchy_closure", f"""
+SELECT p.geoname_id, p.name,
+       concat_ws('>', a1.name, a2.name, a3.name) AS admin_path,
+       p.country_code
+FROM read_parquet('{_sp("places")}') p
+LEFT JOIN read_parquet('{_sp("places")}') a1
+  ON a1.feature_code='ADM1' AND p.country_code=a1.country_code
+ AND p.admin1_code=a1.admin1_code
+LEFT JOIN read_parquet('{_sp("places")}') a2
+  ON a2.feature_code='ADM2' AND p.country_code=a2.country_code
+ AND p.admin1_code=a2.admin1_code AND p.admin2_code=a2.admin2_code
+LEFT JOIN read_parquet('{_sp("places")}') a3
+  ON a3.feature_code='ADM3' AND p.country_code=a3.country_code
+ AND p.admin1_code=a3.admin1_code AND p.admin2_code=a3.admin2_code
+ AND p.admin3_code=a3.admin3_code
+WHERE p.feature_class <> 'A'
+""")
+def kg_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return admin.hierarchy_closure(load(spark, sf_dir, "places"))
+
+
+# ------------------------------------------------------------- J5/J6/G1 ----
+
+_D = HAVERSINE_SQL_DUCKDB.format(lat1="w.latitude", lon1="w.longitude",
+                                 lat2="g.latitude", lon2="g.longitude")
+_NS = NAME_SIM_SQL.format(a="w.name", b="g.name")
+_DS = DIST_SCORE_SQL.format(d="distance_km")
+_CONF = CONFIDENCE_SQL.format(ds="dist_score", ns="name_sim", ts="type_score")
+
+_SPATIAL_ORACLE = f"""
+WITH pairs AS (
+  SELECT w.qid, g.geoname_id,
+         {_D} AS distance_km,
+         CAST({_NS} AS DOUBLE) AS name_sim,
+         CAST(COALESCE(fp.priority, 50) AS BIGINT) AS gn_priority,
+         CAST(COALESCE(wp.priority, 50) AS BIGINT) AS wd_priority
+  FROM read_parquet('{_sp("wikidata_places")}') w
+  JOIN read_parquet('{_sp("places")}') g
+    ON {_D} <= 10.0
+  LEFT JOIN read_parquet('{_sp("feature_priority")}') fp
+    ON g.feature_code = fp.feature_code
+  LEFT JOIN read_parquet('{_sp("wd_type_priority")}') wp
+    ON w.instance_of_qid = wp.instance_of_qid
+), scored AS (
+  SELECT *, CAST({_DS} AS DOUBLE) AS dist_score,
+         CAST(gn_priority AS DOUBLE) / 100.0 AS type_score
+  FROM pairs
+), conf AS (
+  SELECT *, CAST({_CONF} AS DOUBLE) AS conf,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {_CONF} DESC, distance_km ASC, geoname_id ASC) AS rank
+  FROM scored
+)
+SELECT qid AS subj,
+       {CLASSIFY_SQL.format(conf="conf", d="distance_km",
+                            sp="wd_priority", dp="gn_priority")} AS pred,
+       'gn:' || geoname_id AS obj,
+       round(conf, 4) AS confidence,
+       round(distance_km, 4) AS distance_km,
+       'spatial_proximity' AS evidence,
+       CAST(rank AS INTEGER) AS rank
+FROM conf WHERE rank <= 5 AND conf >= 0.5
+"""
+
+
+@register("kg_spatial_links", _SPATIAL_ORACLE)
+def kg_spatial_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spatial.spatial_links(
+        load(spark, sf_dir, "wikidata_places"), load(spark, sf_dir, "places"),
+        load(spark, sf_dir, "feature_priority"),
+        load(spark, sf_dir, "wd_type_priority"))
+
+
+# ------------------------------------------------------- aggregations ------
+
+@register("agg_places_by_country", f"""
+SELECT country_code, count(*) AS n_places
+FROM read_parquet('{_sp("places")}') GROUP BY country_code
+""")
+def agg_places_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1: load_global_geonames.py:293-316
+    return (load(spark, sf_dir, "places")
+            .groupBy("country_code").agg(F.count("*").alias("n_places")))
+
+
+@register("agg_population_stats", f"""
+SELECT count(*) AS n, min(population) AS min_pop, max(population) AS max_pop,
+       round(avg(population), 4) AS avg_pop
+FROM read_parquet('{_sp("places")}') WHERE population > 0
+""")
+def agg_population_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2: load_geonames.py:284-298
+    return (load(spark, sf_dir, "places").where(F.col("population") > 0)
+            .agg(F.count("*").alias("n"),
+                 F.min("population").alias("min_pop"),
+                 F.max("population").alias("max_pop"),
+                 F.round(F.avg("population"), 4).alias("avg_pop")))
+
+
+@register("agg_top_feature_codes", f"""
+SELECT feature_code, count(*) AS n
+FROM read_parquet('{_sp("places")}')
+GROUP BY feature_code ORDER BY n DESC, feature_code ASC LIMIT 10
+""")
+def agg_top_feature_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A10: analyze_feature_codes.py:5-34
+    return (load(spark, sf_dir, "places")
+            .groupBy("feature_code").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("feature_code").asc()).limit(10))
+
+
+@register("agg_distinct_admin_pairs", f"""
+SELECT DISTINCT country_code, admin1_code
+FROM read_parquet('{_sp("places")}') WHERE admin1_code IS NOT NULL
+""")
+def agg_distinct_admin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3: load_geonames.py:201-222
+    return (load(spark, sf_dir, "places")
+            .where(F.col("admin1_code").isNotNull())
+            .select("country_code", "admin1_code").distinct())
