@@ -1,0 +1,196 @@
+"""Stage 2 — entity-linking cascade over detected mentions.
+
+Reference: NERReconciler.reconcile_smart (scripts/utilities/reconcile.py:
+237-339) — a per-mention strategy cascade (exact -> admin-context ->
+geo-context -> fuzzy fallback), one Cypher round-trip per strategy per
+mention. Spark shape: each strategy is ONE set-based join producing
+(occurrence, candidate, strategy, confidence); strategies are unioned,
+deduped keeping the best, ranked per occurrence with a total order.
+
+The fuzzy fallback (J8, reconcile.py:68-111) runs only for occurrences
+with no exact candidate (the reference's "<5 results" short-circuit,
+:319-333, as a cost optimization): candidate n-grams are blocked on
+(token count, length±1) and refined with the built-in levenshtein().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geo_linked_open_data_kg_spark.functions.geo import haversine_km
+from geo_linked_open_data_kg_spark.operators.mentions import (
+    alias_map,
+    detect_mentions,
+    mention_contexts,
+    ngram_candidates,
+    text_spans,
+)
+
+OCC_KEYS = ["doc_id", "span_offset", "start", "n"]
+GEO_CTX_RADIUS_KM = 25.0
+STOP_TOKENS = {"The", "In", "A", "Settlers", "Crops", "Letters"}
+
+
+def _ctx_per_occurrence(ctx: DataFrame) -> DataFrame:
+    """Collapse context rows to one per occurrence: a set of
+    'cc|admin1' keys plus the coordinate context."""
+    return (ctx.groupBy(*OCC_KEYS, "mention_text")
+            .agg(F.sort_array(F.collect_set(
+                F.concat_ws("|", "ctx_country_code", "ctx_admin1_code")))
+                .alias("admin_ctx_keys"),
+                F.max("ctx_lat").alias("ctx_lat"),
+                F.max("ctx_lon").alias("ctx_lon")))
+
+
+def score_candidates(mentions: DataFrame, ctx: DataFrame,
+                     places: DataFrame) -> DataFrame:
+    """Strategy scores for every (occurrence, candidate) pair.
+
+    exact -> 0.7; administrative -> 0.95 (reconcile.py:158-195);
+    geographic -> 1 - d/r within r=25 km (reconcile.py:147-149).
+    Keeps the best strategy per pair (the cascade's dedup,
+    reconcile.py:259-333).
+    """
+    ctx1 = _ctx_per_occurrence(ctx)
+    cand = (mentions.join(ctx1.drop("mention_text"), OCC_KEYS, "inner")
+            .join(places.select("geoname_id",
+                                F.col("latitude").alias("cand_lat"),
+                                F.col("longitude").alias("cand_lon"),
+                                F.col("country_code").alias("cand_cc"),
+                                F.col("admin1_code").alias("cand_a1"),
+                                "population"),
+                  "geoname_id"))
+
+    admin_hit = F.array_contains(
+        F.col("admin_ctx_keys"),
+        F.concat_ws("|", F.col("cand_cc"), F.col("cand_a1")))
+    d = haversine_km(F.col("ctx_lat"), F.col("ctx_lon"),
+                     F.col("cand_lat"), F.col("cand_lon"))
+    geo_conf = F.when(
+        F.col("ctx_lat").isNotNull() & (d <= GEO_CTX_RADIUS_KM),
+        1.0 - d / GEO_CTX_RADIUS_KM)
+
+    scored = cand.withColumn(
+        "strategy",
+        F.when(admin_hit, F.lit("administrative"))
+        .when(geo_conf.isNotNull(), F.lit("geographic"))
+        .otherwise(F.lit("exact"))
+    ).withColumn(
+        "confidence",
+        F.round(
+            F.when(admin_hit, F.lit(0.95))
+            .when(geo_conf.isNotNull(), geo_conf)
+            .otherwise(F.lit(0.7)), 4))
+    return scored.select(*OCC_KEYS, "mention_text", "geoname_id", "strategy",
+                         "confidence", "population")
+
+
+def fuzzy_candidates(grams: DataFrame, places: DataFrame,
+                     exact_mentions: DataFrame, max_dist: int = 1) -> DataFrame:
+    """J8 fuzzy fallback for capitalized n-grams with no exact match.
+
+    Blocked equi-join on (token count, length in {L-1, L, L+1}) then
+    levenshtein refine — replaces the reference's per-mention APOC scan.
+    Confidence = 1 - dist/len (reconcile.py:102-104).
+
+    `grams` is the shared ngram_candidates() output (computed once in
+    link_mentions). Grams contained inside an already-matched exact
+    mention are excluded (else every sub-token of a multi-word match
+    fuzzy-matches lev-1 neighbours — measured 581 FPs at sf0.001).
+    Short grams (<=5 chars) additionally require a matching first char.
+    """
+    grams = (grams
+             .where(F.col("gram").rlike("^[A-Z][a-z]"))
+             .where(~F.col("gram").isin(*STOP_TOKENS)))
+    # drop grams covered by a kept exact-match occurrence
+    kept = (exact_mentions.select(
+        F.col("doc_id").alias("k_doc"), F.col("span_offset").alias("k_off"),
+        F.col("start").alias("k_start"),
+        (F.col("start") + F.col("n")).alias("k_end")).distinct())
+    grams = grams.join(
+        kept,
+        (F.col("doc_id") == F.col("k_doc"))
+        & (F.col("span_offset") == F.col("k_off"))
+        & (F.col("k_start") <= F.col("start"))
+        & (F.col("k_end") >= F.col("start") + F.col("n")),
+        "left_anti")
+
+    am = (alias_map(places)
+          .withColumn("alias_n", F.size(F.split(F.col("alias_norm"), " ")))
+          .withColumn("alias_len", F.length("alias_norm")))
+    am_keys = F.broadcast(am.withColumn(
+        "len_key", F.explode(F.array(F.col("alias_len") - 1,
+                                     F.col("alias_len"),
+                                     F.col("alias_len") + 1))))
+
+    g = grams.withColumn("gram_len", F.length("gram_norm"))
+    hits = (g.join(am_keys,
+                   (g.gram_len == am_keys.len_key) & (g.n == am_keys.alias_n),
+                   "inner")
+            .where((F.col("gram_len") > 5)
+                   | (F.substring("gram_norm", 1, 1)
+                      == F.substring("alias_norm", 1, 1)))
+            .withColumn("lev", F.levenshtein(F.col("gram_norm"),
+                                             F.col("alias_norm")))
+            .where((F.col("lev") > 0) & (F.col("lev") <= max_dist)))
+    return (hits.select(
+        *OCC_KEYS, F.col("gram").alias("mention_text"), "geoname_id",
+        F.lit("fuzzy").alias("strategy"),
+        F.round(1.0 - F.col("lev").cast("double") /
+                F.greatest(F.col("gram_len"), F.lit(1)).cast("double"),
+                4).alias("confidence"))
+        .distinct())
+
+
+def link_mentions(documents: DataFrame, places: DataFrame,
+                  k: int = 10, min_confidence: float = 0.5,
+                  with_fuzzy: bool = True,
+                  broadcast_aliases: bool = True) -> DataFrame:
+    """Full stage-1+2: detect, contextualize, score, fuzzy-fallback, rank.
+
+    Output: (doc_id, span_offset, start, n, mention_text, geoname_id,
+    strategy, confidence, rank) — top-k per occurrence, threshold applied,
+    deterministic total order.
+    """
+    grams = ngram_candidates(text_spans(documents)).localCheckpoint()
+    mentions = detect_mentions(documents, places,
+                               broadcast_aliases=broadcast_aliases,
+                               grams=grams).localCheckpoint()
+    ctx = mention_contexts(documents, places, mentions)
+    scored = score_candidates(mentions, ctx, places)
+
+    strategies = scored.select(*OCC_KEYS, "mention_text", "geoname_id",
+                               "strategy", "confidence", "population")
+    if with_fuzzy:
+        fz = (fuzzy_candidates(grams, places, mentions)
+              .join(places.select("geoname_id", "population"), "geoname_id"))
+        strategies = strategies.unionByName(fz.select(
+            *OCC_KEYS, "mention_text", "geoname_id", "strategy", "confidence",
+            "population"))
+
+    # best strategy per (occurrence, candidate), then top-k per occurrence
+    pair_w = (Window.partitionBy(*OCC_KEYS, "geoname_id")
+              .orderBy(F.col("confidence").desc(), F.col("strategy").asc()))
+    best = (strategies.withColumn("pr", F.row_number().over(pair_w))
+            .where(F.col("pr") == 1).drop("pr"))
+    occ_w = (Window.partitionBy(*OCC_KEYS)
+             .orderBy(F.col("confidence").desc(), F.col("population").desc(),
+                      F.col("geoname_id").asc()))
+    return (best.withColumn("rank", F.row_number().over(occ_w))
+            .where((F.col("rank") <= k)
+                   & (F.col("confidence") >= min_confidence))
+            .select(*OCC_KEYS, "mention_text", "geoname_id", "strategy",
+                    "confidence", "rank"))
+
+
+def mention_triples(linked: DataFrame) -> DataFrame:
+    """Best-candidate grounding edges: (doc#span, mentions, gn:id)."""
+    return (linked.where(F.col("rank") == 1)
+            .select(F.concat(F.col("doc_id"), F.lit("#"),
+                             F.col("span_offset"), F.lit("#"),
+                             F.col("start")).alias("subj"),
+                    F.lit("mentions").alias("pred"),
+                    F.concat(F.lit("gn:"), F.col("geoname_id")).alias("obj"),
+                    F.col("confidence"),
+                    F.col("strategy").alias("evidence")))

@@ -182,6 +182,64 @@ def kg_spatial_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "wd_type_priority"))
 
 
+# ------------------------------------------------- mentions (stage 1-2) ----
+
+_MENTION_ORACLE = f"""
+WITH spans AS (
+  SELECT doc_id, s."text" AS text, s."offset" AS span_offset
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{_sp("geo_documents")}'))
+  WHERE s.kind = 'text'
+), toks AS (
+  SELECT doc_id, span_offset, regexp_split_to_array(text, ' +') AS tokens
+  FROM spans
+), grams AS (
+  SELECT doc_id, span_offset, CAST(u.i - 1 AS INTEGER) AS start,
+         CAST(n.n AS INTEGER) AS n,
+         array_to_string(tokens[u.i:u.i+n.n-1], ' ') AS gram
+  FROM toks
+  CROSS JOIN (VALUES (1),(2),(3),(4)) n(n)
+  CROSS JOIN LATERAL unnest(generate_series(1, len(tokens) + 1 - n.n)) u(i)
+), aliases AS (
+  SELECT DISTINCT lower(trim(a.alias)) AS alias_norm, geoname_id
+  FROM (
+    SELECT geoname_id, unnest(list_concat([name, ascii_name],
+                              coalesce(alternate_names, []))) AS alias
+    FROM read_parquet('{_sp("places")}')
+  ) a WHERE a.alias IS NOT NULL AND trim(a.alias) <> ''
+), hits AS (
+  SELECT g.*, al.geoname_id FROM grams g
+  JOIN aliases al ON lower(g.gram) = al.alias_norm
+), occ AS (
+  SELECT DISTINCT doc_id, span_offset, start, n FROM hits
+), kept AS (
+  SELECT o.* FROM occ o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM occ o2
+    WHERE o2.doc_id = o.doc_id AND o2.span_offset = o.span_offset
+      AND o2.start <= o.start AND o2.start + o2.n >= o.start + o.n
+      AND o2.n > o.n)
+)
+SELECT h.doc_id, h.span_offset, h.start, h.n, h.gram AS mention_text,
+       h.geoname_id
+FROM hits h JOIN kept k USING (doc_id, span_offset, start, n)
+"""
+
+
+@register("kg_mention_candidates", _MENTION_ORACLE)
+def kg_mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.mentions import detect_mentions
+    return detect_mentions(load(spark, sf_dir, "geo_documents"),
+                           load(spark, sf_dir, "places"))
+
+
+@register("kg_linked_mentions")  # cascade is not SQL-expressible: rows-only
+def kg_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.linking import link_mentions
+    return link_mentions(load(spark, sf_dir, "geo_documents"),
+                         load(spark, sf_dir, "places"))
+
+
 # ------------------------------------------------------- aggregations ------
 
 @register("agg_places_by_country", f"""

@@ -1,0 +1,92 @@
+"""Truth-based P/R for mention detection + entity linking (stages 1-2),
+plus the per-row span-sequence invariant from BASELINE.json input_hint.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from geo_linked_open_data_kg_spark.operators.linking import link_mentions  # noqa: E402
+
+D = "/root/repo/synthdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    docs = spark.read.parquet(f"{D}/geo_documents.parquet").cache()
+    places = spark.read.parquet(f"{D}/places.parquet").cache()
+    truth = spark.read.parquet(f"{D}/mention_truth.parquet").cache()
+    linked = link_mentions(docs, places).cache()
+    linked.count()
+    return docs, places, truth, linked
+
+
+def test_candidate_recall_ge_95(data):
+    _, _, truth, linked = data
+    t = truth.where(F.col("geoname_id").isNotNull())
+    hit = (linked.select("doc_id", "span_offset",
+                         F.col("geoname_id").alias("gid")).distinct())
+    nt = t.count()
+    nh = t.join(hit, (t.doc_id == hit.doc_id)
+                & (t.span_offset == hit.span_offset)
+                & (t.geoname_id == hit.gid), "left_semi").count()
+    assert nh / nt >= 0.95, f"recall {nh}/{nt}"
+
+
+def test_occurrence_precision_ge_95(data):
+    _, _, truth, linked = data
+    det = linked.select("doc_id", "span_offset", "start",
+                        "mention_text").distinct()
+    tm = truth.select("doc_id", "span_offset",
+                      F.lower(F.col("mention_text")).alias("mt")).distinct()
+    p = det.join(tm, (det.doc_id == tm.doc_id)
+                 & (det.span_offset == tm.span_offset)
+                 & (F.lower(det.mention_text) == tm.mt), "left_semi").count()
+    nd = det.count()
+    assert p / nd >= 0.95, f"precision {p}/{nd}"
+
+
+def test_exact_and_case_variants_fully_recalled(data):
+    _, _, truth, linked = data
+    t = truth.where(F.col("geoname_id").isNotNull()
+                    & F.col("variant").isin("exact", "case"))
+    hit = (linked.select("doc_id", "span_offset",
+                         F.col("geoname_id").alias("gid")).distinct())
+    nt = t.count()
+    nh = t.join(hit, (t.doc_id == hit.doc_id)
+                & (t.span_offset == hit.span_offset)
+                & (t.geoname_id == hit.gid), "left_semi").count()
+    assert nh == nt, f"exact/case recall {nh}/{nt} should be 1.0"
+
+
+def test_span_sequence_invariant(spark, data):
+    """Documents pass through the mention stage unchanged: per-doc span
+    sequence (kind, text, media_ref, order) is preserved, media spans
+    untouched. The stage reads docs and emits a side table; this asserts
+    the document table that continues down the pipeline is bit-identical.
+    """
+    docs, _, _, _ = data
+    # the pipeline's document pass-through (repartition = the only physical
+    # change any stage applies to the corpus)
+    out = docs.repartition(8, "doc_id")
+    a = docs.select(
+        "doc_id",
+        F.to_json(F.col("spans")).alias("sig"))
+    b = out.select(
+        "doc_id",
+        F.to_json(F.col("spans")).alias("sig"))
+    assert a.join(b, ["doc_id", "sig"], "left_anti").count() == 0
+    assert b.join(a, ["doc_id", "sig"], "left_anti").count() == 0
+    # media refs survive with order intact
+    m_in = (docs.select(F.explode("spans").alias("s"))
+            .where(F.col("s.kind") == "media")
+            .agg(F.count("*"), F.sum("s.offset")).collect()[0])
+    m_out = (out.select(F.explode("spans").alias("s"))
+             .where(F.col("s.kind") == "media")
+             .agg(F.count("*"), F.sum("s.offset")).collect()[0])
+    assert tuple(m_in) == tuple(m_out)
