@@ -1,0 +1,81 @@
+"""G3 — identity canonicalization: connected components over sameAs edges.
+
+The reference never computes transitive identity — SAME_AS links stay
+pairwise (load_indian_affairs_agents.py:135-141 and the linkers). The
+north star requires real canonicalization: components of the sameAs
+graph, canonical id = min(component), triples rewritten onto canonical
+ids.
+
+Spark shape: iterative min-label propagation expressed as DataFrame
+self-joins with localCheckpoint() per round to cut lineage (the
+documented convergence pattern for DataFrame-only connected components;
+equivalent to the small-star step of Kiveris et al.'s "Connected
+Components in MapReduce and Beyond", applied symmetrically). Components
+produced by entity linking are tiny (stars/chains of 2-4 nodes), so
+convergence is 2-4 rounds; the checkpoint bounds plan growth at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "subj",
+                         dst: str = "obj", max_iter: int = 25) -> DataFrame:
+    """(node, component) with component = lexicographic min node id
+    reachable in the undirected graph."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .where(F.col("a") != F.col("b"))
+           .distinct()
+           .localCheckpoint())
+
+    labels = (sym.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint())
+
+    for _ in range(max_iter):
+        # component candidates arriving over edges
+        msgs = (sym.join(labels, sym.a == labels.node)
+                .select(F.col("b").alias("node"),
+                        F.col("component")))
+        new_labels = (labels.select("node", "component").unionByName(msgs)
+                      .groupBy("node")
+                      .agg(F.min("component").alias("component"))
+                      .localCheckpoint())
+        old = labels.select("node", F.col("component").alias("old_component"))
+        changed = (new_labels.join(old, "node")
+                   .where(F.col("component") != F.col("old_component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_mapping(same_as: DataFrame) -> DataFrame:
+    """(node, canonical) for every node touched by a sameAs edge."""
+    return (connected_components(same_as)
+            .select("node", F.col("component").alias("canonical")))
+
+
+def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subj/obj onto canonical ids; drop self-loops created by the
+    rewrite; keep the best evidence per (subj, pred, obj)."""
+    m_subj = mapping.select(F.col("node").alias("subj"),
+                            F.col("canonical").alias("subj_canon"))
+    m_obj = mapping.select(F.col("node").alias("obj"),
+                           F.col("canonical").alias("obj_canon"))
+    out = (triples
+           .join(m_subj, "subj", "left")
+           .join(m_obj, "obj", "left")
+           .select(F.coalesce("subj_canon", "subj").alias("subj"),
+                   "pred",
+                   F.coalesce("obj_canon", "obj").alias("obj"),
+                   "confidence", "evidence"))
+    out = out.where((F.col("pred") == "sameAs") | (F.col("subj") != F.col("obj")))
+    return (out.groupBy("subj", "pred", "obj")
+            .agg(F.max("confidence").alias("confidence"),
+                 F.min("evidence").alias("evidence")))

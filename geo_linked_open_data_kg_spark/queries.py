@@ -240,6 +240,166 @@ def kg_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
                          load(spark, sf_dir, "places"))
 
 
+# --------------------------------------------- biography / postal edges ----
+
+@register("kg_born_in", f"""
+SELECT p.qid AS subj, 'bornIn' AS pred, p.birth_place_qid AS obj,
+       CAST(1.0 AS DOUBLE) AS confidence, 'wikidata_claim' AS evidence
+FROM read_parquet('{_sp("persons")}') p
+JOIN read_parquet('{_sp("wikidata_places")}') w ON p.birth_place_qid = w.qid
+WHERE p.birth_place_qid IS NOT NULL
+""")
+def kg_born_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators import biography
+    return biography.born_in(load(spark, sf_dir, "persons"),
+                             load(spark, sf_dir, "wikidata_places"))
+
+
+@register("kg_resided_in", f"""
+SELECT DISTINCT p.qid AS subj, 'residedIn' AS pred, r.q AS obj,
+       CAST(1.0 AS DOUBLE) AS confidence, 'wikidata_claim' AS evidence
+FROM read_parquet('{_sp("persons")}') p, unnest(p.residence_qids) r(q)
+JOIN read_parquet('{_sp("wikidata_places")}') w ON r.q = w.qid
+""")
+def kg_resided_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators import biography
+    return biography.resided_in(load(spark, sf_dir, "persons"),
+                                load(spark, sf_dir, "wikidata_places"))
+
+
+@register("kg_dangling_fk_counts", f"""
+SELECT 'birth_place_qid' AS fk, count(*) AS n_dangling
+FROM read_parquet('{_sp("persons")}') p
+WHERE p.birth_place_qid IS NOT NULL AND NOT EXISTS (
+  SELECT 1 FROM read_parquet('{_sp("wikidata_places")}') w
+  WHERE w.qid = p.birth_place_qid)
+UNION ALL
+SELECT 'death_place_qid' AS fk, count(*) AS n_dangling
+FROM read_parquet('{_sp("persons")}') p
+WHERE p.death_place_qid IS NOT NULL AND NOT EXISTS (
+  SELECT 1 FROM read_parquet('{_sp("wikidata_places")}') w
+  WHERE w.qid = p.death_place_qid)
+""")
+def kg_dangling_fk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators import biography
+    return biography.dangling_fk_counts(load(spark, sf_dir, "persons"),
+                                        load(spark, sf_dir, "wikidata_places"))
+
+
+@register("kg_born_in_place", f"""
+WITH sameas AS (
+  SELECT w.qid AS subj, 'gn:' || g.geoname_id AS obj
+  FROM read_parquet('{_sp("wikidata_places")}') w
+  JOIN read_parquet('{_sp("places")}') g
+    ON {direct_link.EXTRACT_ID_SQL.format(c="w.geonames_id")} = g.geoname_id
+  WHERE w.geonames_id IS NOT NULL
+)
+SELECT DISTINCT p.qid AS subj, 'bornInPlace' AS pred, s.obj AS obj,
+       CAST(1.0 AS DOUBLE) AS confidence, 'derived_2hop' AS evidence
+FROM read_parquet('{_sp("persons")}') p
+JOIN read_parquet('{_sp("wikidata_places")}') w ON p.birth_place_qid = w.qid
+JOIN sameas s ON s.subj = p.birth_place_qid
+""")
+def kg_born_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators import biography
+    wd = load(spark, sf_dir, "wikidata_places")
+    same = direct_link.direct_id_links(wd, load(spark, sf_dir, "places"))
+    return biography.born_in_place(load(spark, sf_dir, "persons"), wd, same)
+
+
+@register("kg_migration_flows", f"""
+SELECT wb.country_qid AS birth_country, wd.country_qid AS death_country,
+       count(*) AS n_persons
+FROM read_parquet('{_sp("persons")}') p
+JOIN read_parquet('{_sp("wikidata_places")}') wb ON p.birth_place_qid = wb.qid
+JOIN read_parquet('{_sp("wikidata_places")}') wd ON p.death_place_qid = wd.qid
+WHERE p.birth_place_qid IS NOT NULL AND p.death_place_qid IS NOT NULL
+GROUP BY 1, 2 HAVING count(*) >= 2
+""")
+def kg_migration_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators import biography
+    return biography.migration_flows(load(spark, sf_dir, "persons"),
+                                     load(spark, sf_dir, "wikidata_places"))
+
+
+_PO_NORM = ("trim(regexp_replace(lower(trim({c})), "
+            "'\\s+(post office|p\\.o\\.|po)$', ''))")
+
+
+@register("kg_post_office_links", f"""
+WITH a1 AS (
+  SELECT admin1_name AS province, country_code, admin1_code
+  FROM read_parquet('{_sp("admin1_names")}') WHERE country_code = 'AA'
+), po AS (
+  SELECT p.id_number, {_PO_NORM.format(c="p.name")} AS norm_name,
+         a.country_code, a.admin1_code
+  FROM read_parquet('{_sp("post_offices")}') p JOIN a1 a USING (province)
+), po_u AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY norm_name, country_code,
+                             admin1_code) AS n_po FROM po) WHERE n_po = 1
+), g AS (
+  SELECT lower(trim(name)) AS norm_name, country_code, admin1_code, geoname_id
+  FROM read_parquet('{_sp("places")}')
+  WHERE feature_class = 'P' AND admin1_code IS NOT NULL
+), g_u AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY norm_name, country_code,
+                             admin1_code) AS n_g FROM g) WHERE n_g = 1
+)
+SELECT 'po:' || po_u.id_number AS subj, 'sameAs' AS pred,
+       'gn:' || g_u.geoname_id AS obj, CAST(0.9 AS DOUBLE) AS confidence,
+       'unique_name_province' AS evidence
+FROM po_u JOIN g_u USING (norm_name, country_code, admin1_code)
+""")
+def kg_post_office_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators import postal
+    a1 = load(spark, sf_dir, "admin1_names").where(F.col("country_code") == "AA")
+    return postal.post_office_links(load(spark, sf_dir, "post_offices"),
+                                    load(spark, sf_dir, "places"), a1)
+
+
+@register("kg_ambiguous_post_offices", f"""
+SELECT {_PO_NORM.format(c="name")} AS norm_name, province, count(*) AS n
+FROM read_parquet('{_sp("post_offices")}')
+GROUP BY 1, 2 HAVING count(*) > 1
+""")
+def kg_ambiguous_post_offices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators import postal
+    return postal.ambiguous_post_offices(load(spark, sf_dir, "post_offices"))
+
+
+# ------------------------------------------------ canonicalization (G3) ----
+
+_CC_ORACLE = f"""
+WITH RECURSIVE direct AS (
+  SELECT w.qid AS subj, 'gn:' || g.geoname_id AS obj
+  FROM read_parquet('{_sp("wikidata_places")}') w
+  JOIN read_parquet('{_sp("places")}') g
+    ON {direct_link.EXTRACT_ID_SQL.format(c="w.geonames_id")} = g.geoname_id
+  WHERE w.geonames_id IS NOT NULL
+), sym AS (
+  SELECT subj AS a, obj AS b FROM direct WHERE subj <> obj
+  UNION SELECT obj, subj FROM direct WHERE subj <> obj
+), reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, re.r FROM reach re JOIN sym s ON s.a = re.node
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+@register("kg_same_as_components", _CC_ORACLE)
+def kg_same_as_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.canonicalize import (
+        connected_components,
+    )
+    links = direct_link.direct_id_links(
+        load(spark, sf_dir, "wikidata_places"), load(spark, sf_dir, "places"))
+    return connected_components(links)
+
+
 # ------------------------------------------------------- aggregations ------
 
 @register("agg_places_by_country", f"""
