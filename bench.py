@@ -1,0 +1,87 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": 0.1, "throughput": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from geo_linked_open_data_kg_spark.fixtures.generate import synth_dir_for  # noqa: E402
+from geo_linked_open_data_kg_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    synth_dir_for(sf_dir)  # ensure fixtures exist before timing
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from geo_linked_open_data_kg_spark import queries as q
+    from geo_linked_open_data_kg_spark.plans.pipeline import run_pipeline
+    from geo_linked_open_data_kg_spark.sources.registry import load
+
+    n_docs = load(spark, sf_dir, "geo_documents").count()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 2)
+        counts[name] = n
+
+    # headline 1: full KG pipeline (fresh checkpoints each run)
+    out_dir = tempfile.mkdtemp(prefix="kg_bench_")
+    try:
+        timed("kg_pipeline",
+              lambda: run_pipeline(spark, sf_dir, out_dir)
+              ["canonical_triples"].count())
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # headline 2-5: individual heavy operators
+    timed("kg_spatial_links",
+          lambda: q.kg_spatial_links(spark, sf_dir).count())
+    timed("kg_mention_candidates",
+          lambda: q.kg_mention_candidates(spark, sf_dir).count())
+    timed("kg_admin_triples",
+          lambda: q.kg_admin_triples(spark, sf_dir).count())
+    timed("kg_same_as_components",
+          lambda: q.kg_same_as_components(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 2)
+    docs_per_sec = round(n_docs / timings["kg_pipeline"], 1)
+    triples_per_sec = round(counts["kg_pipeline"] / timings["kg_pipeline"], 1)
+    print(json.dumps({
+        "metric": "kg_construction_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "throughput": {
+            "docs_per_sec": docs_per_sec,
+            "triples_per_sec": triples_per_sec,
+            "n_docs": n_docs,
+            "n_triples": counts["kg_pipeline"],
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

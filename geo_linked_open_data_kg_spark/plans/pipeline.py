@@ -1,0 +1,120 @@
+"""End-to-end KG-construction pipeline (SURVEY.md §7.1).
+
+    documents ──[1] mention detection ──[2] entity linking ─┐
+    gazetteer ──[0] ingest ──[3] triple extraction ─────────┤
+                                                            ▼
+    [4] canonicalization (sameAs connected components) → rewrite
+    [5] materialize: nodes + edges tables (+ _metrics/_lineage)
+
+Every stage is a pure DataFrame transform checkpointed via
+CheckpointStore; a re-run resumes after the last completed stage.
+Documents are repartitioned once on hash(doc_id) (the north rule's
+explicit repartitioning) and media spans pass through untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geo_linked_open_data_kg_spark.functions.geo import cell_id
+from geo_linked_open_data_kg_spark.operators import (
+    admin,
+    biography,
+    direct_link,
+    linking,
+    spatial,
+)
+from geo_linked_open_data_kg_spark.operators.canonicalize import (
+    canonical_mapping,
+    rewrite_triples,
+)
+from geo_linked_open_data_kg_spark.plans.checkpoint import CheckpointStore
+from geo_linked_open_data_kg_spark.sources.registry import load
+
+TRIPLE_COLS = ["subj", "pred", "obj", "confidence", "evidence"]
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
+                 doc_partitions: int | None = None,
+                 force: bool = False) -> dict[str, DataFrame]:
+    """Run (or resume) the full pipeline; returns the stage outputs."""
+    ckpt = CheckpointStore(out_dir)
+    n_part = doc_partitions or spark.sparkContext.defaultParallelism
+
+    places = load(spark, sf_dir, "places")
+    wd = load(spark, sf_dir, "wikidata_places")
+    persons = load(spark, sf_dir, "persons")
+    docs = (load(spark, sf_dir, "geo_documents")
+            .repartition(n_part, F.hash("doc_id")))
+    fprio = load(spark, sf_dir, "feature_priority")
+    wprio = load(spark, sf_dir, "wd_type_priority")
+
+    linked = ckpt.get_or_compute(
+        spark, "linked_mentions",
+        lambda: linking.link_mentions(docs, places), force=force)
+
+    mention_t = ckpt.get_or_compute(
+        spark, "mention_triples",
+        lambda: linking.mention_triples(linked), force=force)
+
+    gaz_triples = ckpt.get_or_compute(
+        spark, "gazetteer_triples",
+        lambda: (direct_link.direct_id_links(wd, places)
+                 .select(*TRIPLE_COLS)
+                 .unionByName(admin.admin_triples(places).select(*TRIPLE_COLS))
+                 .unionByName(
+                     spatial.promote_near_to_same_as(
+                         spatial.spatial_links(wd, places, fprio, wprio))
+                     .select(*TRIPLE_COLS))
+                 .unionByName(
+                     biography.born_in(persons, wd).select(*TRIPLE_COLS))
+                 .unionByName(
+                     biography.died_in(persons, wd).select(*TRIPLE_COLS))
+                 .unionByName(
+                     biography.resided_in(persons, wd).select(*TRIPLE_COLS))),
+        force=force)
+
+    canon = ckpt.get_or_compute(
+        spark, "canonical_triples",
+        lambda: rewrite_triples(
+            gaz_triples.unionByName(mention_t.select(*TRIPLE_COLS)),
+            canonical_mapping(
+                gaz_triples.where(F.col("pred") == "sameAs"))),
+        force=force)
+
+    nodes = ckpt.get_or_compute(
+        spark, "nodes", lambda: build_nodes(places, wd, persons),
+        partition_by=["label"], force=force)
+
+    edges = ckpt.get_or_compute(
+        spark, "edges", lambda: canon, partition_by=["pred"], force=force)
+
+    return {"linked_mentions": linked, "mention_triples": mention_t,
+            "gazetteer_triples": gaz_triples, "canonical_triples": canon,
+            "nodes": nodes, "edges": edges}
+
+
+def build_nodes(places: DataFrame, wd: DataFrame,
+                persons: DataFrame) -> DataFrame:
+    """Materialized node table: (id, label, name, latitude, longitude,
+    country_code, cell_id) — the Neo4j labels become a partition column
+    (SURVEY.md §1.1)."""
+    p = places.select(
+        F.concat(F.lit("gn:"), F.col("geoname_id")).alias("id"),
+        F.lit("Place").alias("label"), "name", "latitude", "longitude",
+        "country_code")
+    w = wd.select(
+        F.col("qid").alias("id"), F.lit("WikidataPlace").alias("label"),
+        "name", "latitude", "longitude",
+        F.col("country_qid").alias("country_code"))
+    pe = persons.select(
+        F.col("qid").alias("id"), F.lit("Person").alias("label"), "name",
+        F.lit(None).cast("double").alias("latitude"),
+        F.lit(None).cast("double").alias("longitude"),
+        F.col("citizenship_qid").alias("country_code"))
+    out = p.unionByName(w).unionByName(pe)
+    return out.withColumn(
+        "cell_id",
+        F.when(F.col("latitude").isNotNull(),
+               cell_id("latitude", "longitude")))
