@@ -438,6 +438,440 @@ def agg_top_feature_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n").desc(), F.col("feature_code").asc()).limit(10))
 
 
+# ----------------------------------------- training-data pipeline ops ------
+# The driver corpus has no duplicates, so dedup operators run over a
+# deterministically AUGMENTED corpus built identically on both engines:
+# exact copies for doc_id%17==0 (id+1e6), near copies (last token dropped)
+# for doc_id%13==0 (id+2e6).
+
+_AUG_SQL = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, regexp_replace(text, '\\s+\\S+$', '')
+  FROM documents WHERE doc_id % 13 = 0
+)"""
+
+_SHINGLE_SQL = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS t FROM aug
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i+2], ' ') AS shingle
+  FROM toks
+  CROSS JOIN LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) u(i)
+  WHERE array_to_string(t[u.i:u.i+2], ' ') <> ''
+)"""
+
+
+def _aug_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (docs.where(F.col("doc_id") % 17 == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    near = (docs.where(F.col("doc_id") % 13 == 0)
+            .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                    F.regexp_replace("text", r"\s+\S+$", "").alias("text")))
+    return docs.unionByName(exact).unionByName(near)
+
+
+@register("td_exact_duplicates", f"""
+WITH {_AUG_SQL.lstrip()}
+SELECT md5(lower(trim(text))) AS text_hash, count(*) AS n_dups,
+       min(doc_id) AS keeper_doc_id
+FROM aug GROUP BY 1 HAVING count(*) > 1
+""")
+def td_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.dedup import exact_duplicates
+    return exact_duplicates(_aug_documents(spark, sf_dir))
+
+
+_MH = [f"min(md5('{s}:' || shingle)) AS mh_{s}" for s in range(12)]
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(mh_{3*b} || '|' || mh_{3*b+1} || '|' || mh_{3*b+2}) AS bucket "
+    f"FROM sig" for b in range(4))
+
+
+@register("td_minhash_lsh_pairs", f"""
+WITH {_AUG_SQL.lstrip()}, {_SHINGLE_SQL.lstrip()},
+sig AS (
+  SELECT doc_id, {', '.join(_MH)} FROM sh GROUP BY doc_id
+), banded AS (
+  {_BANDS_SQL}
+), capped AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, bucket
+                                 ORDER BY doc_id) AS rn FROM banded)
+  WHERE rn <= 50
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter), 4)
+         AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.5
+""")
+def td_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_aug_documents(spark, sf_dir))
+
+
+@register("td_ngram_jaccard_pairs", f"""
+WITH {_AUG_SQL.lstrip()}, {_SHINGLE_SQL.lstrip()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter), 4)
+         AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.8
+""")
+def td_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_aug_documents(spark, sf_dir))
+
+
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+    for i in range(16))
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+
+
+@register("td_simhash", f"""
+WITH {_AUG_SQL.lstrip()},
+tok AS (
+  SELECT doc_id, u.tok FROM (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS t
+    FROM aug) CROSS JOIN LATERAL unnest(t) u(tok)
+  WHERE u.tok <> ''
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 4)) AS BIGINT)
+           AS th
+  FROM tok
+), agg AS (
+  SELECT doc_id, {_SIMHASH_BITSUMS} FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM agg
+""")
+def td_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.dedup import simhash
+    return simhash(_aug_documents(spark, sf_dir))
+
+
+@register("td_embedding_near_dups", """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+  WHERE vec_id % 11 = 0
+), n AS (
+  SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95
+""")
+def td_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.dedup import embedding_near_dups
+    emb = load(spark, sf_dir, "embeddings")
+    aug = emb.unionByName(
+        emb.where(F.col("vec_id") % 11 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 100000))
+    return embedding_near_dups(aug.select("vec_id", "embedding"))
+
+
+# -------------------------------------------------- similarity search ------
+
+_COS_SQL = "list_dot_product(q.emb, e.emb) / (q.nrm * e.nrm)"
+
+
+@register("td_ann_brute_topk", f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb, nrm FROM e WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_COS_SQL}, 6) AS cos,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY round({_COS_SQL}, 6) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM q JOIN e ON q.query_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= 5
+""")
+def td_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.similarity import ann_brute_topk
+    return ann_brute_topk(load(spark, sf_dir, "embeddings"))
+
+
+@register("td_ann_lsh_topk", f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS nrm
+  FROM embeddings
+), sig AS (
+  SELECT e.vec_id,
+         string_agg(CASE WHEN list_dot_product(e.emb, h.weights) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY h.plane_id) AS bucket
+  FROM e CROSS JOIN read_parquet('{_sp("hyperplanes")}') h
+  GROUP BY e.vec_id
+), eb AS (
+  SELECT e.*, sig.bucket FROM e JOIN sig USING (vec_id)
+), q AS (
+  SELECT vec_id AS query_id, emb, nrm, bucket FROM eb WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_COS_SQL}, 6) AS cos,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY round({_COS_SQL}, 6) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM q JOIN eb e ON q.bucket = e.bucket AND q.query_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= 5
+""")
+def td_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.similarity import ann_lsh_topk
+    return ann_lsh_topk(load(spark, sf_dir, "embeddings"),
+                        load(spark, sf_dir, "hyperplanes"))
+
+
+# ------------------------------------------------------ text analysis ------
+
+_BPE_RE = r"[A-Za-z]{1,4}|\d{1,3}|[^\sA-Za-z\d]"
+
+
+@register("td_token_counts", f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+                            x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+         AS n_bpe_ish_tokens,
+       CAST(length(trim(text)) AS INTEGER) AS n_chars_norm
+FROM documents
+""")
+def td_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.textstats import token_counts
+    return token_counts(load(spark, sf_dir, "documents"))
+
+
+_SW_RATIO_SQL = """
+CAST(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)),
+         ' +'), x -> x <> ''), x -> list_contains({words}, x))) AS DOUBLE)
+/ greatest(len(list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+           x -> x <> '')), 1)
+"""
+
+
+def _sw_list(lang: str) -> str:
+    from geo_linked_open_data_kg_spark.operators.textstats import STOPWORDS
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+@register("td_quality_scores", f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct,
+         {_SW_RATIO_SQL.format(words=_sw_list('en'))} AS stop
+  FROM documents
+)
+SELECT doc_id,
+       round(least(CAST(n AS DOUBLE) / 500.0, 1.0), 4) AS len_score,
+       round(punct, 4) AS punct_ratio,
+       round(stop, 4) AS stop_ratio,
+       floor((0.4 * least(CAST(n AS DOUBLE) / 500.0, 1.0)
+             + 0.3 * least(stop * 5.0, 1.0)
+             + 0.3 * (1.0 - least(punct * 10.0, 1.0))) * 10000) / 10000
+         AS quality
+FROM base
+""")
+def td_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.textstats import quality_scores
+    return quality_scores(load(spark, sf_dir, "documents"))
+
+
+_LANGID_UNION = "\nUNION ALL\n".join(
+    f"SELECT doc_id, '{lang}' AS lang, "
+    f"round({_SW_RATIO_SQL.format(words='{W' + lang + '}')}, 6) AS ratio "
+    "FROM documents" for lang in ("en", "es", "de", "fr"))
+
+
+@register("td_language_id", f"""
+WITH ratios AS (
+  {_LANGID_UNION}
+), ranked AS (
+  SELECT doc_id, lang, ratio,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ratio DESC, lang DESC) AS rn
+  FROM ratios
+)
+SELECT doc_id,
+       CASE WHEN ratio > 0 THEN lang ELSE 'und' END AS pred_lang,
+       ratio AS best_ratio
+FROM ranked WHERE rn = 1
+""".replace("{Wen}", _sw_list("en")).replace("{Wes}", _sw_list("es"))
+   .replace("{Wde}", _sw_list("de")).replace("{Wfr}", _sw_list("fr")))
+def td_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.textstats import language_id
+    return language_id(load(spark, sf_dir, "documents"))
+
+
+@register("td_fingerprints", """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+                             x -> x <> '') AS t
+  FROM documents
+), wins AS (
+  SELECT doc_id, md5(array_to_string(t[u.i:u.i+2], ' ')) AS wh
+  FROM toks
+  CROSS JOIN LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) u(i)
+)
+SELECT doc_id, min(wh) AS fingerprint FROM wins GROUP BY doc_id
+""")
+def td_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.textstats import fingerprints
+    return fingerprints(load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------- multimodal (stubbed) ------
+
+@register("td_media_features", f"""
+WITH m AS (
+  SELECT doc_id, s."offset" AS span_offset, s.media_ref AS media_ref
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{_sp("geo_documents")}'))
+  WHERE s.kind = 'media'
+)
+SELECT doc_id, span_offset, media_ref,
+       CAST(length(media_ref) AS INTEGER) AS n_ref_bytes,
+       CAST(64 + CAST(('0x' || substr(md5(media_ref), 1, 2)) AS BIGINT)
+            AS INTEGER) AS fake_width,
+       CAST(64 + CAST(('0x' || substr(md5(media_ref), 3, 2)) AS BIGINT)
+            AS INTEGER) AS fake_height,
+       CAST(1 + CAST(('0x' || substr(md5(media_ref), 5, 1)) AS BIGINT)
+            AS INTEGER) AS fake_n_frames
+FROM m
+""")
+def td_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.multimodal import media_features
+    return media_features(load(spark, sf_dir, "geo_documents"))
+
+
+# --------------------------------------------------- events / windows ------
+
+@register("ev_tumbling_counts", """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def ev_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+@register("ev_topk_per_type", """
+SELECT event_type, event_id, value, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events)
+WHERE rank <= 5
+""")
+def ev_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(),
+                                                 F.col("event_id").asc())
+    return (ev.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("event_type", "event_id", "value", "rank"))
+
+
+# --------------------------------------------------------- TPC-H-ish -------
+
+@register("tpch_q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("sum_disc_price"),
+                 F.count("*").alias("count_order")))
+
+
+@register("tpch_top_suppliers_by_revenue", """
+SELECT s.s_suppkey, s.s_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2 ORDER BY revenue DESC, s_suppkey ASC LIMIT 10
+""")
+def tpch_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
+            .limit(10))
+
+
 @register("agg_distinct_admin_pairs", f"""
 SELECT DISTINCT country_code, admin1_code
 FROM read_parquet('{_sp("places")}') WHERE admin1_code IS NOT NULL
