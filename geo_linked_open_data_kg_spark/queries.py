@@ -438,6 +438,214 @@ def agg_top_feature_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n").desc(), F.col("feature_code").asc()).limit(10))
 
 
+# ------------------------------------------------- more KG operators -------
+
+@register("kg_fuzzy_postal_links", f"""
+WITH a1 AS (
+  SELECT admin1_name AS province, country_code, admin1_code
+  FROM read_parquet('{_sp("admin1_names")}') WHERE country_code = 'AA'
+), po AS (
+  SELECT p.id_number, {_PO_NORM.format(c="p.name")} AS norm_name,
+         a.country_code, a.admin1_code
+  FROM read_parquet('{_sp("post_offices")}') p JOIN a1 a USING (province)
+), g AS (
+  SELECT lower(trim(name)) AS g_name, country_code, admin1_code, geoname_id
+  FROM read_parquet('{_sp("places")}')
+  WHERE feature_class = 'P' AND admin1_code IS NOT NULL
+)
+SELECT DISTINCT 'po:' || po.id_number AS subj, 'fuzzyMatch' AS pred,
+       'gn:' || g.geoname_id AS obj,
+       round(1.0 - CAST(levenshtein(po.norm_name, g.g_name) AS DOUBLE)
+             / greatest(length(po.norm_name), 1), 4) AS confidence,
+       'levenshtein' AS evidence
+FROM po JOIN g USING (country_code, admin1_code)
+WHERE levenshtein(po.norm_name, g.g_name) BETWEEN 1 AND 2
+  AND abs(length(po.norm_name) - length(g.g_name)) <= 2
+""")
+def kg_fuzzy_postal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 standalone: edit-distance<=2 postal->gazetteer links, blocked by
+    province (reconcile.py:68-111 semantics, set-based)."""
+    from geo_linked_open_data_kg_spark.functions.scoring import normalize_name
+    a1 = (load(spark, sf_dir, "admin1_names")
+          .where(F.col("country_code") == "AA")
+          .select(F.col("admin1_name").alias("province"), "country_code",
+                  "admin1_code"))
+    po = (load(spark, sf_dir, "post_offices")
+          .withColumn("norm_name", normalize_name(F.col("name")))
+          .join(a1, "province"))
+    g = (load(spark, sf_dir, "places")
+         .where((F.col("feature_class") == "P")
+                & F.col("admin1_code").isNotNull())
+         .select(F.lower(F.trim(F.col("name"))).alias("g_name"),
+                 "country_code", "admin1_code", "geoname_id"))
+    lev = F.levenshtein(F.col("norm_name"), F.col("g_name"))
+    return (po.join(g, ["country_code", "admin1_code"])
+            .where(F.abs(F.length("norm_name") - F.length("g_name")) <= 2)
+            .where(lev.between(1, 2))
+            .select(F.concat(F.lit("po:"), F.col("id_number")).alias("subj"),
+                    F.lit("fuzzyMatch").alias("pred"),
+                    F.concat(F.lit("gn:"), F.col("geoname_id")).alias("obj"),
+                    F.round(1.0 - lev.cast("double")
+                            / F.greatest(F.length("norm_name"), F.lit(1)),
+                            4).alias("confidence"),
+                    F.lit("levenshtein").alias("evidence"))
+            .distinct())
+
+
+_D2 = HAVERSINE_SQL_DUCKDB.format(lat1="w.latitude", lon1="w.longitude",
+                                  lat2="g.latitude", lon2="g.longitude")
+
+
+@register("kg_name_radius_links", f"""
+SELECT w.qid AS subj, 'nameRadiusMatch' AS pred,
+       'gn:' || g.geoname_id AS obj,
+       round(1.0 - {_D2} / 10.0, 4) AS confidence,
+       round({_D2}, 4) AS distance_km
+FROM read_parquet('{_sp("wikidata_places")}') w
+JOIN read_parquet('{_sp("places")}') g
+  ON lower(trim(w.name)) = lower(trim(g.name)) AND {_D2} <= 10.0
+""")
+def kg_name_radius_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: name equality AND haversine <= radius, confidence 1 - d/r
+    (reconcile.py:113-156) — alias equi-join + cell-bucketed refine."""
+    from geo_linked_open_data_kg_spark.functions.geo import haversine_km
+    w = load(spark, sf_dir, "wikidata_places").select(
+        "qid", F.lower(F.trim(F.col("name"))).alias("nm"),
+        F.col("latitude").alias("wlat"), F.col("longitude").alias("wlon"))
+    g = load(spark, sf_dir, "places").select(
+        "geoname_id", F.lower(F.trim(F.col("name"))).alias("nm"),
+        F.col("latitude").alias("glat"), F.col("longitude").alias("glon"))
+    d = haversine_km(F.col("wlat"), F.col("wlon"),
+                     F.col("glat"), F.col("glon"))
+    return (w.join(g, "nm")
+            .withColumn("distance_km", d)
+            .where(F.col("distance_km") <= 10.0)
+            .select(F.col("qid").alias("subj"),
+                    F.lit("nameRadiusMatch").alias("pred"),
+                    F.concat(F.lit("gn:"), F.col("geoname_id")).alias("obj"),
+                    F.round(1.0 - F.col("distance_km") / 10.0,
+                            4).alias("confidence"),
+                    F.round(F.col("distance_km"), 4).alias("distance_km")))
+
+
+@register("kg_promoted_links", _SPATIAL_ORACLE.replace(
+    "SELECT qid AS subj,\n       " + CLASSIFY_SQL.format(
+        conf="conf", d="distance_km", sp="wd_priority", dp="gn_priority"),
+    "SELECT qid AS subj,\n       CASE WHEN " + CLASSIFY_SQL.format(
+        conf="conf", d="distance_km", sp="wd_priority", dp="gn_priority")
+    + " = 'nearTo' AND round(conf, 4) >= 0.85 AND round(distance_km, 4)"
+      " <= 1.0 THEN 'sameAs' ELSE " + CLASSIFY_SQL.format(
+        conf="conf", d="distance_km", sp="wd_priority", dp="gn_priority")
+    + " END"))
+def kg_promoted_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: NEAR->SAME_AS promotion applied over the spatial links."""
+    return spatial.promote_near_to_same_as(kg_spatial_links(spark, sf_dir))
+
+
+@register("kg_link_coverage", f"""
+WITH linked AS (
+  SELECT DISTINCT w.qid
+  FROM read_parquet('{_sp("wikidata_places")}') w
+  JOIN read_parquet('{_sp("places")}') g
+    ON {direct_link.EXTRACT_ID_SQL.format(c="w.geonames_id")} = g.geoname_id
+  WHERE w.geonames_id IS NOT NULL
+)
+SELECT count(*) AS n_total,
+       (SELECT count(*) FROM linked) AS n_linked,
+       count(*) - (SELECT count(*) FROM linked) AS n_unlinked,
+       round(CAST((SELECT count(*) FROM linked) AS DOUBLE) / count(*), 4)
+         AS coverage
+FROM read_parquet('{_sp("wikidata_places")}')
+""")
+def kg_link_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/P10/J13: linked vs unlinked coverage via anti-join
+    (link_wikidata_places_global.py:450-511)."""
+    wd = load(spark, sf_dir, "wikidata_places")
+    links = direct_link.direct_id_links(wd, load(spark, sf_dir, "places"))
+    unlinked = direct_link.unlinked_wd(wd, links)
+    total = wd.agg(F.count("*").alias("n_total"))
+    n_link = links.select("subj").distinct().agg(
+        F.count("*").alias("n_linked"))
+    n_unlink = unlinked.agg(F.count("*").alias("n_unlinked"))
+    return (total.crossJoin(n_link).crossJoin(n_unlink)
+            .withColumn("coverage",
+                        F.round(F.col("n_linked").cast("double")
+                                / F.col("n_total"), 4)))
+
+
+@register("kg_multi_residence_persons", f"""
+WITH ex AS (
+  SELECT p.qid, r.q AS res_qid
+  FROM read_parquet('{_sp("persons")}') p, unnest(p.residence_qids) r(q)
+), j AS (
+  SELECT DISTINCT ex.qid, ex.res_qid
+  FROM ex JOIN read_parquet('{_sp("wikidata_places")}') w
+    ON w.qid = ex.res_qid
+)
+SELECT qid, string_agg(res_qid, ',' ORDER BY res_qid) AS residences,
+       CAST(count(*) AS INTEGER) AS n_locations
+FROM j GROUP BY qid HAVING count(*) > 1
+""")
+def kg_multi_residence_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: collect_set + size>1 HAVING (multi-location agents,
+    PROJECT_STATUS.md:406-412). Arrays stringified sorted for hashing."""
+    persons = load(spark, sf_dir, "persons")
+    wd = load(spark, sf_dir, "wikidata_places").select(
+        F.col("qid").alias("res_qid"))
+    ex = persons.select("qid", F.explode("residence_qids").alias("res_qid"))
+    return (ex.join(wd, "res_qid")
+            .groupBy("qid")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_set("res_qid")))
+                 .alias("residences"),
+                 F.size(F.collect_set("res_qid")).alias("n_locations"))
+            .where(F.col("n_locations") > 1))
+
+
+@register("kg_alias_sets", f"""
+SELECT geoname_id,
+       list_aggr(list_sort(list_distinct(
+         list_filter(coalesce(alternate_names, []),
+                     x -> x <> name AND x <> ascii_name))),
+         'string_agg', ',') AS extra_aliases
+FROM read_parquet('{_sp("places")}')
+WHERE len(list_distinct(list_filter(coalesce(alternate_names, []),
+          x -> x <> name AND x <> ascii_name))) > 0
+""")
+def kg_alias_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops F14-style: array_distinct minus primary names
+    (parse_wikidata_dump.py:204-210)."""
+    p = load(spark, sf_dir, "places")
+    extra = F.array_sort(F.array_distinct(F.filter(
+        F.coalesce(F.col("alternate_names"),
+                   F.array().cast("array<string>")),
+        lambda x: (x != F.col("name")) & (x != F.col("ascii_name")))))
+    return (p.select("geoname_id",
+                     F.concat_ws(",", extra).alias("extra_aliases"),
+                     F.size(extra).alias("n"))
+            .where(F.col("n") > 0).drop("n"))
+
+
+@register("kg_nodes", f"""
+SELECT 'gn:' || geoname_id AS id, 'Place' AS label, name,
+       latitude, longitude, country_code
+FROM read_parquet('{_sp("places")}')
+UNION ALL
+SELECT qid, 'WikidataPlace', name, latitude, longitude, country_qid
+FROM read_parquet('{_sp("wikidata_places")}')
+UNION ALL
+SELECT qid, 'Person', name, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       citizenship_qid
+FROM read_parquet('{_sp("persons")}')
+""")
+def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K4: the materialized node table (cell_id column excluded here —
+    it is pandas-UDF-derived; the driver compare covers the projection)."""
+    from geo_linked_open_data_kg_spark.plans.pipeline import build_nodes
+    return build_nodes(load(spark, sf_dir, "places"),
+                       load(spark, sf_dir, "wikidata_places"),
+                       load(spark, sf_dir, "persons")).drop("cell_id")
+
+
 # ----------------------------------------- training-data pipeline ops ------
 # The driver corpus has no duplicates, so dedup operators run over a
 # deterministically AUGMENTED corpus built identically on both engines:

@@ -1,0 +1,123 @@
+"""Two-parallelism-level scaling bench (the north rule's N vs 4N cluster
+criterion, evidenced in-sandbox per BASELINE.md: identical job + identical
+input at local[8] and local[32]).
+
+Job: the full KG pipeline (mention detection -> linking -> triple
+extraction -> canonicalization -> materialize) over the sf0.1 corpus
+inflated x{MULT} (deterministic doc_id-suffixed copies) so per-core work
+dominates fixed scheduling overhead, as it would on a real cluster where
+each executor holds many partitions.
+
+Each level runs in its own subprocess (one SparkContext per JVM).
+Writes BENCH.md with throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+MULT = int(os.environ.get("SCALE_MULT", "4"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+LEVELS = [8, 32]
+
+WORKER = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, "/root/repo")
+cores = int(sys.argv[1]); mult = int(sys.argv[2]); sf_dir = sys.argv[3]
+
+from geo_linked_open_data_kg_spark.session import get_spark
+from geo_linked_open_data_kg_spark.sources.registry import load
+from pyspark.sql import functions as F
+
+spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=cores * 2)
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = load(spark, sf_dir, "geo_documents")
+copies = [docs.withColumn("doc_id", F.concat("doc_id", F.lit(f"#{i}")))
+          for i in range(mult)]
+inflated = copies[0]
+for c in copies[1:]:
+    inflated = inflated.unionByName(c)
+tmp_in = tempfile.mkdtemp(prefix=f"scale_in_{cores}_")
+inflated.write.mode("overwrite").parquet(f"{tmp_in}/geo_documents.parquet")
+n_docs = spark.read.parquet(f"{tmp_in}/geo_documents.parquet").count()
+
+# warm: JVM/codegen
+load(spark, sf_dir, "places").count()
+
+from geo_linked_open_data_kg_spark.operators import linking, direct_link, admin, spatial
+from geo_linked_open_data_kg_spark.operators.canonicalize import (
+    canonical_mapping, rewrite_triples)
+
+places = load(spark, sf_dir, "places")
+wd = load(spark, sf_dir, "wikidata_places")
+fprio = load(spark, sf_dir, "feature_priority")
+wprio = load(spark, sf_dir, "wd_type_priority")
+big_docs = spark.read.parquet(f"{tmp_in}/geo_documents.parquet") \
+    .repartition(cores * 2, F.hash("doc_id"))
+
+t0 = time.time()
+linked = linking.link_mentions(big_docs, places)
+mt = linking.mention_triples(linked)
+TRIPLE_COLS = ["subj", "pred", "obj", "confidence", "evidence"]
+gaz = (direct_link.direct_id_links(wd, places).select(*TRIPLE_COLS)
+       .unionByName(admin.admin_triples(places).select(*TRIPLE_COLS))
+       .unionByName(spatial.spatial_links(wd, places, fprio, wprio)
+                    .select(*TRIPLE_COLS)))
+canon = rewrite_triples(gaz.unionByName(mt.select(*TRIPLE_COLS)),
+                        canonical_mapping(gaz.where(F.col("pred") == "sameAs")))
+n_triples = canon.count()
+elapsed = time.time() - t0
+print(json.dumps({"cores": cores, "sec": round(elapsed, 2),
+                  "n_docs": n_docs, "n_triples": n_triples,
+                  "docs_per_sec": round(n_docs / elapsed, 1)}))
+shutil.rmtree(tmp_in, ignore_errors=True)
+spark.stop()
+"""
+
+
+def main() -> None:
+    results = {}
+    for cores in LEVELS:
+        out = subprocess.run(
+            [sys.executable, "-c", WORKER, str(cores), str(MULT), SF_DIR],
+            capture_output=True, text=True, check=True)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(line, flush=True)
+
+    lo, hi = LEVELS
+    thr_lo = results[lo]["docs_per_sec"]
+    thr_hi = results[hi]["docs_per_sec"]
+    eff = thr_hi / (thr_lo * (hi / lo))
+    md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+Per the north rule's two-cluster-size criterion, evidenced in-sandbox by
+running the IDENTICAL KG-construction job (mention detection -> entity
+linking -> triple extraction -> canonicalization) on the IDENTICAL input
+(sf0.1 corpus inflated x{MULT} = {results[lo]['n_docs']} docs) at two
+local parallelism levels.
+
+| parallelism | wall sec | docs/sec | triples |
+|---|---|---|---|
+| local[{lo}] (N) | {results[lo]['sec']} | {thr_lo} | {results[lo]['n_triples']} |
+| local[{hi}] (4N) | {results[hi]['sec']} | {thr_hi} | {results[hi]['n_triples']} |
+
+**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8)
+
+Throughput_4N / (4 x Throughput_N) = {thr_hi} / (4 x {thr_lo}) = {eff:.3f}
+
+Reference floor (BASELINE.md): 2-10 places/sec optimized spatial linking,
+~870-1,240 rows/sec bulk load. This engine: {thr_hi} docs/sec end-to-end
+at local[{hi}].
+"""
+    with open("/root/repo/BENCH.md", "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
