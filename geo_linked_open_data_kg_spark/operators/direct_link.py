@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 def extract_geonames_id(c) -> "F.Column":
     """F15: tolerate trailing garbage — take the leading digit run."""
-    return F.regexp_extract(c, r"^(\d+)", 1).cast("long")
+    return F.regexp_extract(c, r"^(\d+)", 1).try_cast("long")
 
 
 EXTRACT_ID_SQL = "try_cast(regexp_extract({c}, '^(\\d+)', 1) AS BIGINT)"

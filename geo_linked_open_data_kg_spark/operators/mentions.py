@@ -165,9 +165,9 @@ def mention_contexts(documents: DataFrame, places: DataFrame,
     after3 = F.element_at(F.col("tokens"), end + 3)
     with_coord = (occ_t
                   .withColumn("ctx_lat", F.when(after1 == "at",
-                                                after2.cast("double")))
+                                                after2.try_cast("double")))
                   .withColumn("ctx_lon", F.when(after1 == "at",
-                                                after3.cast("double")))
+                                                after3.try_cast("double")))
                   .withColumn("comma_follows", after1 == ","))
 
     # mention , ADM1-occurrence → admin context for the mention

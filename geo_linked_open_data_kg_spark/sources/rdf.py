@@ -35,7 +35,7 @@ def extract_uri_id(c) -> "F.Column":
     """F15: 'https://www.geonames.org/6093943l' -> 6093943 — first digit
     run, tolerating trailing garbage (parse_lincs_historical_canadians.py:
     54-73, PROJECT_STATUS.md:434-437)."""
-    return F.regexp_extract(c, r"(\d+)", 1).cast("long")
+    return F.regexp_extract(c, r"(\d+)", 1).try_cast("long")
 
 
 def two_hop(triples: DataFrame, p1: str, p2: str, out_pred: str) -> DataFrame:
