@@ -438,6 +438,93 @@ def agg_top_feature_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n").desc(), F.col("feature_code").asc()).limit(10))
 
 
+# ------------------------------- flagship: canonicalized triple set --------
+
+_PROMOTED_SPATIAL_SQL = None  # assembled below after kg_promoted_links
+
+
+def _canonical_oracle() -> str:
+    spatial_promoted = ORACLES["kg_promoted_links"]
+    admin_union = ORACLES["kg_admin_triples"]
+    return f"""
+WITH RECURSIVE triples AS (
+  SELECT subj, pred, obj, confidence, evidence FROM (
+    {ORACLES["kg_direct_id_links"]}
+  )
+  UNION ALL
+  SELECT subj, pred, obj, confidence, evidence FROM (
+    {admin_union}
+  )
+  UNION ALL
+  SELECT subj, pred, obj, confidence, evidence FROM (
+    {spatial_promoted}
+  )
+  UNION ALL
+  SELECT subj, pred, obj, confidence, evidence FROM (
+    {ORACLES["kg_born_in"]}
+  )
+  UNION ALL
+  SELECT p.qid AS subj, 'diedIn' AS pred, p.death_place_qid AS obj,
+         CAST(1.0 AS DOUBLE) AS confidence, 'wikidata_claim' AS evidence
+  FROM read_parquet('{_sp("persons")}') p
+  JOIN read_parquet('{_sp("wikidata_places")}') w
+    ON p.death_place_qid = w.qid
+  WHERE p.death_place_qid IS NOT NULL
+  UNION ALL
+  SELECT subj, pred, obj, confidence, evidence FROM (
+    {ORACLES["kg_resided_in"]}
+  )
+), sym AS (
+  SELECT subj AS a, obj AS b FROM triples WHERE pred = 'sameAs' AND subj <> obj
+  UNION
+  SELECT obj, subj FROM triples WHERE pred = 'sameAs' AND subj <> obj
+), reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, re.r FROM reach re JOIN sym s ON s.a = re.node
+), mapping AS (
+  SELECT node, min(r) AS canonical FROM reach GROUP BY node
+), rewritten AS (
+  SELECT coalesce(ms.canonical, t.subj) AS subj, t.pred,
+         coalesce(mo.canonical, t.obj) AS obj, t.confidence, t.evidence
+  FROM triples t
+  LEFT JOIN mapping ms ON ms.node = t.subj
+  LEFT JOIN mapping mo ON mo.node = t.obj
+)
+SELECT subj, pred, obj, max(confidence) AS confidence,
+       min(evidence) AS evidence
+FROM rewritten
+WHERE pred = 'sameAs' OR subj <> obj
+GROUP BY subj, pred, obj
+"""
+
+
+def kg_canonical_gazetteer_triples(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Flagship: the pipeline's gazetteer triple set (no document mentions —
+    those are non-SQL-expressible) canonicalized onto sameAs components."""
+    from geo_linked_open_data_kg_spark.operators import biography
+    from geo_linked_open_data_kg_spark.operators.canonicalize import (
+        canonical_mapping,
+        rewrite_triples,
+    )
+    places = load(spark, sf_dir, "places")
+    wd = load(spark, sf_dir, "wikidata_places")
+    persons = load(spark, sf_dir, "persons")
+    cols = ["subj", "pred", "obj", "confidence", "evidence"]
+    gaz = (direct_link.direct_id_links(wd, places).select(*cols)
+           .unionByName(admin.admin_triples(places).select(*cols))
+           .unionByName(spatial.promote_near_to_same_as(
+               spatial.spatial_links(
+                   wd, places, load(spark, sf_dir, "feature_priority"),
+                   load(spark, sf_dir, "wd_type_priority"))).select(*cols))
+           .unionByName(biography.born_in(persons, wd).select(*cols))
+           .unionByName(biography.died_in(persons, wd).select(*cols))
+           .unionByName(biography.resided_in(persons, wd).select(*cols)))
+    return rewrite_triples(
+        gaz, canonical_mapping(gaz.where(F.col("pred") == "sameAs")))
+
+
 # ------------------------------------------------- more KG operators -------
 
 @register("kg_fuzzy_postal_links", f"""
@@ -1089,3 +1176,8 @@ def agg_distinct_admin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (load(spark, sf_dir, "places")
             .where(F.col("admin1_code").isNotNull())
             .select("country_code", "admin1_code").distinct())
+
+
+# flagship registration deferred: its oracle composes oracles defined above
+QUERIES["kg_canonical_gazetteer_triples"] = kg_canonical_gazetteer_triples
+ORACLES["kg_canonical_gazetteer_triples"] = _canonical_oracle()
