@@ -36,7 +36,7 @@ def connected_components(edges: DataFrame, src: str = "subj",
               .withColumn("component", F.col("node"))
               .localCheckpoint())
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # component candidates arriving over edges
         msgs = (sym.join(labels, sym.a == labels.node)
                 .select(F.col("b").alias("node"),
@@ -45,11 +45,17 @@ def connected_components(edges: DataFrame, src: str = "subj",
                       .groupBy("node")
                       .agg(F.min("component").alias("component"))
                       .localCheckpoint())
-        old = labels.select("node", F.col("component").alias("old_component"))
-        changed = (new_labels.join(old, "node")
+        old = labels
+        labels = new_labels
+        # entity-linking components are stars/short chains: round 1 always
+        # changes labels, so skip that convergence action (each check is a
+        # full extra job — pure serial latency)
+        if it == 0:
+            continue
+        prev = old.select("node", F.col("component").alias("old_component"))
+        changed = (new_labels.join(prev, "node")
                    .where(F.col("component") != F.col("old_component"))
                    .limit(1).count())
-        labels = new_labels
         if changed == 0:
             break
     return labels

@@ -169,7 +169,10 @@ def link_mentions(documents: DataFrame, places: DataFrame,
     strategy, confidence, rank) — top-k per occurrence, threshold applied,
     deterministic total order.
     """
-    grams = ngram_candidates(text_spans(documents)).localCheckpoint()
+    # grams stay LAZY (a single-pass explode is cheaper to recompute for
+    # the fuzzy branch than to materialize corpus x ngrams rows); the
+    # occurrence-level mention table is small — checkpoint that instead
+    grams = ngram_candidates(text_spans(documents))
     mentions = detect_mentions(documents, places,
                                broadcast_aliases=broadcast_aliases,
                                grams=grams).localCheckpoint()

@@ -60,32 +60,31 @@ def text_spans(documents: DataFrame) -> DataFrame:
 def ngram_candidates(spans: DataFrame, max_n: int = MAX_NGRAM) -> DataFrame:
     """All n-grams (n=1..max_n) with 0-based token start positions.
 
-    Pure Column: for each n, transform(sequence(0, len-n), i ->
-    struct(i, concat_ws(' ', slice(tokens, i+1, n)))).
+    Single pass: one flattened higher-order expression per span, one
+    explode — the corpus is scanned once, not once per n (the explode is
+    the dominant cost of detection at scale).
     """
-    per_n = []
-    for n in range(1, max_n + 1):
-        g = (spans
-             .where(F.size("tokens") >= n)
-             .select(
-                 "doc_id", "span_offset", "tokens",
-                 F.explode(F.transform(
-                     F.sequence(F.lit(0), F.size("tokens") - n),
-                     lambda i: F.struct(
-                         i.alias("start"),
-                         F.concat_ws(
-                             " ",
-                             F.slice(F.col("tokens"), i + 1, n)).alias("gram")),
-                 )).alias("ng"))
-             .select("doc_id", "span_offset",
-                     F.col("ng.start").alias("start"),
-                     F.lit(n).alias("n"),
-                     F.col("ng.gram").alias("gram")))
-        per_n.append(g)
-    out = per_n[0]
-    for g in per_n[1:]:
-        out = out.unionByName(g)
-    return out.withColumn("gram_norm", F.lower(F.col("gram")))
+    size = F.size("tokens")
+
+    def make(n: int):
+        grams_n = F.transform(
+            F.sequence(F.lit(0), F.greatest(size - n, F.lit(0))),
+            lambda i: F.struct(
+                i.alias("start"), F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(F.col("tokens"), i + 1, n))
+                .alias("gram")))
+        # sequence(0, 0) emits one bogus window when size < n — drop it
+        return F.filter(grams_n, lambda s: s["start"] + n <= size)
+
+    allgrams = F.flatten(F.array(*[make(n) for n in range(1, max_n + 1)]))
+    return (spans
+            .select("doc_id", "span_offset",
+                    F.explode(allgrams).alias("ng"))
+            .select("doc_id", "span_offset",
+                    F.col("ng.start").alias("start"),
+                    F.col("ng.n").alias("n"),
+                    F.col("ng.gram").alias("gram"))
+            .withColumn("gram_norm", F.lower(F.col("gram"))))
 
 
 def detect_mentions(documents: DataFrame, places: DataFrame,
@@ -99,30 +98,36 @@ def detect_mentions(documents: DataFrame, places: DataFrame,
     """
     if grams is None:
         grams = ngram_candidates(text_spans(documents))
+    # alias lengths bound the useful gram universe — prune before the join
+    grams = grams.where(F.length("gram_norm").between(2, 60))
     am = alias_map(places)
     if broadcast_aliases:
         am = F.broadcast(am)
-    hits = grams.join(am, grams.gram_norm == am.alias_norm, "inner")
+    hits = (grams.join(am, grams.gram_norm == am.alias_norm, "inner")
+            .select("doc_id", "span_offset", "start", "n", "gram",
+                    "geoname_id"))
 
-    # longest-match wins: drop a hit strictly contained in a longer hit
-    # at the same (doc_id, span_offset)
-    occ = (hits.select("doc_id", "span_offset", "start", "n").distinct())
-    longer = occ.select(
-        F.col("doc_id").alias("d2"), F.col("span_offset").alias("o2"),
-        F.col("start").alias("s2"), F.col("n").alias("n2"))
-    contained = (occ.join(
-        longer,
-        (F.col("doc_id") == F.col("d2")) & (F.col("span_offset") == F.col("o2"))
-        & (F.col("s2") <= F.col("start"))
-        & (F.col("s2") + F.col("n2") >= F.col("start") + F.col("n"))
-        & (F.col("n2") > F.col("n")),
-        "left_semi"))
-    kept = occ.join(contained, ["doc_id", "span_offset", "start", "n"],
-                    "left_anti")
-
-    return (hits.join(kept, ["doc_id", "span_offset", "start", "n"], "left_semi")
-            .select("doc_id", "span_offset", "start", "n",
-                    F.col("gram").alias("mention_text"), "geoname_id"))
+    # longest-match wins, resolved span-locally in ONE shuffle: group all
+    # hits per (doc, span), drop candidates contained in a longer hit via
+    # a higher-order exists() — no containment self-joins
+    per_span = (hits.groupBy("doc_id", "span_offset")
+                .agg(F.collect_set(F.struct("start", "n")).alias("occs"),
+                     F.collect_list(F.struct("start", "n", "gram",
+                                             "geoname_id")).alias("cands")))
+    kept = F.filter(
+        F.col("cands"),
+        lambda c: ~F.exists(
+            F.col("occs"),
+            lambda o: (o["start"] <= c["start"])
+            & (o["start"] + o["n"] >= c["start"] + c["n"])
+            & (o["n"] > c["n"])))
+    return (per_span
+            .select("doc_id", "span_offset", F.explode(kept).alias("m"))
+            .select("doc_id", "span_offset",
+                    F.col("m.start").alias("start"),
+                    F.col("m.n").alias("n"),
+                    F.col("m.gram").alias("mention_text"),
+                    F.col("m.geoname_id").alias("geoname_id")))
 
 
 def mention_contexts(documents: DataFrame, places: DataFrame,
