@@ -30,6 +30,24 @@ from geo_linked_open_data_kg_spark.operators.mentions import (
 OCC_KEYS = ["doc_id", "span_offset", "start", "n"]
 GEO_CTX_RADIUS_KM = 25.0
 STOP_TOKENS = {"The", "In", "A", "Settlers", "Crops", "Letters"}
+MAX_CANDIDATES_PER_OCC = 20   # reconcile.py:61-63 ORDER BY population LIMIT 20
+MAX_FUZZY_PER_GRAM = 5
+
+
+def cap_candidates(mentions: DataFrame, places: DataFrame,
+                   k: int = MAX_CANDIDATES_PER_OCC) -> DataFrame:
+    """Bound per-occurrence candidate fan-out the way the reference does
+    (ORDER BY population DESC NULLS LAST LIMIT 20, reconcile.py:61-63).
+    Same-name gazetteer collisions otherwise multiply every downstream
+    shuffle by the collision factor."""
+    w = (Window.partitionBy(*OCC_KEYS)
+         .orderBy(F.col("population").desc_nulls_last(),
+                  F.col("geoname_id").asc()))
+    return (mentions
+            .join(places.select("geoname_id", "population"), "geoname_id")
+            .withColumn("cr", F.row_number().over(w))
+            .where(F.col("cr") <= k)
+            .drop("cr", "population"))
 
 
 def _ctx_per_occurrence(ctx: DataFrame) -> DataFrame:
@@ -103,18 +121,6 @@ def fuzzy_candidates(grams: DataFrame, places: DataFrame,
     grams = (grams
              .where(F.col("gram").rlike("^[A-Z][a-z]"))
              .where(~F.col("gram").isin(*STOP_TOKENS)))
-    # drop grams covered by a kept exact-match occurrence
-    kept = (exact_mentions.select(
-        F.col("doc_id").alias("k_doc"), F.col("span_offset").alias("k_off"),
-        F.col("start").alias("k_start"),
-        (F.col("start") + F.col("n")).alias("k_end")).distinct())
-    grams = grams.join(
-        kept,
-        (F.col("doc_id") == F.col("k_doc"))
-        & (F.col("span_offset") == F.col("k_off"))
-        & (F.col("k_start") <= F.col("start"))
-        & (F.col("k_end") >= F.col("start") + F.col("n")),
-        "left_anti")
 
     # match once per DISTINCT surface string, then rejoin to occurrences —
     # the corpus repeats surfaces heavily, the vocabulary doesn't
@@ -148,15 +154,34 @@ def fuzzy_candidates(grams: DataFrame, places: DataFrame,
         .where((F.col("lev") > 0) & (F.col("lev") <= max_dist))
         .select("gram", "n", "gram_len", "geoname_id", "lev")
         .distinct())
+    # bound lev-1 neighbourhood blow-ups (e.g. enumerated district/street
+    # names differing in one digit): best few per distinct surface
+    gw = (Window.partitionBy("gram", "n")
+          .orderBy(F.col("lev").asc(), F.col("geoname_id").asc()))
+    hits = (hits.withColumn("fr", F.row_number().over(gw))
+            .where(F.col("fr") <= MAX_FUZZY_PER_GRAM).drop("fr"))
 
-    return (grams.join(hits, ["gram", "n"])
-            .select(
-                *OCC_KEYS, F.col("gram").alias("mention_text"), "geoname_id",
-                F.lit("fuzzy").alias("strategy"),
-                F.round(1.0 - F.col("lev").cast("double") /
-                        F.greatest(F.col("gram_len"), F.lit(1)).cast("double"),
-                        4).alias("confidence"))
-            .distinct())
+    # rejoin the vocabulary-sized hit table to occurrences map-side, THEN
+    # drop occurrences covered by an exact match (occurrence-level
+    # anti-join is ~10x smaller than gram-level)
+    occ_hits = grams.join(F.broadcast(hits), ["gram", "n"])
+    kept = (exact_mentions.select(
+        F.col("doc_id").alias("k_doc"), F.col("span_offset").alias("k_off"),
+        F.col("start").alias("k_start"),
+        (F.col("start") + F.col("n")).alias("k_end")).distinct())
+    occ_hits = occ_hits.join(
+        kept,
+        (F.col("doc_id") == F.col("k_doc"))
+        & (F.col("span_offset") == F.col("k_off"))
+        & (F.col("k_start") <= F.col("start"))
+        & (F.col("k_end") >= F.col("start") + F.col("n")),
+        "left_anti")
+    return occ_hits.select(
+        *OCC_KEYS, F.col("gram").alias("mention_text"), "geoname_id",
+        F.lit("fuzzy").alias("strategy"),
+        F.round(1.0 - F.col("lev").cast("double") /
+                F.greatest(F.col("gram_len"), F.lit(1)).cast("double"),
+                4).alias("confidence"))
 
 
 def link_mentions(documents: DataFrame, places: DataFrame,
@@ -175,7 +200,8 @@ def link_mentions(documents: DataFrame, places: DataFrame,
     grams = ngram_candidates(text_spans(documents))
     mentions = detect_mentions(documents, places,
                                broadcast_aliases=broadcast_aliases,
-                               grams=grams).localCheckpoint()
+                               grams=grams,
+                               cap=MAX_CANDIDATES_PER_OCC).localCheckpoint()
     ctx = mention_contexts(documents, places, mentions)
     scored = score_candidates(mentions, ctx, places)
 

@@ -28,11 +28,12 @@ from pyspark.sql import functions as F
 MAX_NGRAM = 4
 
 
-def alias_map(places: DataFrame) -> DataFrame:
-    """(alias_norm, geoname_id) — exploded, deduped. The broadcast alias
-    hash map of the north star."""
+def alias_map(places: DataFrame, with_population: bool = False) -> DataFrame:
+    """(alias_norm, geoname_id[, population]) — exploded, deduped. The
+    broadcast alias hash map of the north star."""
+    extra = ["population"] if with_population else []
     aliases = places.select(
-        "geoname_id",
+        "geoname_id", *extra,
         F.explode(
             F.array_union(
                 F.array(F.col("name"), F.col("ascii_name")),
@@ -42,7 +43,7 @@ def alias_map(places: DataFrame) -> DataFrame:
     return (aliases
             .where(F.col("alias").isNotNull() & (F.trim(F.col("alias")) != ""))
             .select(F.lower(F.trim(F.col("alias"))).alias("alias_norm"),
-                    "geoname_id")
+                    "geoname_id", *extra)
             .distinct())
 
 
@@ -89,31 +90,35 @@ def ngram_candidates(spans: DataFrame, max_n: int = MAX_NGRAM) -> DataFrame:
 
 def detect_mentions(documents: DataFrame, places: DataFrame,
                     broadcast_aliases: bool = True,
-                    grams: DataFrame | None = None) -> DataFrame:
+                    grams: DataFrame | None = None,
+                    cap: int | None = None) -> DataFrame:
     """Exact/alias mention candidates with longest-match overlap resolution.
 
     Returns (doc_id, span_offset, start, n, mention_text, geoname_id).
-    A mention occurrence keeps ALL candidate gids that share its surface
-    (disambiguation is stage 2's job, linking.py).
+    A mention occurrence keeps ALL candidate gids sharing its surface
+    (disambiguation is stage 2's job) unless `cap` is set, which bounds
+    candidates per occurrence to the top `cap` by (population DESC,
+    geoname_id ASC) — the reference's LIMIT 20 (reconcile.py:61-63).
+
+    The whole operator is ONE shuffle: a broadcast alias join, then a
+    span-local groupBy where containment resolution AND the candidate cap
+    run as higher-order array expressions (no self-joins, no window).
     """
     if grams is None:
         grams = ngram_candidates(text_spans(documents))
     # alias lengths bound the useful gram universe — prune before the join
     grams = grams.where(F.length("gram_norm").between(2, 60))
-    am = alias_map(places)
+    am = alias_map(places, with_population=cap is not None)
     if broadcast_aliases:
         am = F.broadcast(am)
+    cand_cols = ["start", "n", "gram", "geoname_id"] + (
+        ["population"] if cap is not None else [])
     hits = (grams.join(am, grams.gram_norm == am.alias_norm, "inner")
-            .select("doc_id", "span_offset", "start", "n", "gram",
-                    "geoname_id"))
+            .select("doc_id", "span_offset", *cand_cols))
 
-    # longest-match wins, resolved span-locally in ONE shuffle: group all
-    # hits per (doc, span), drop candidates contained in a longer hit via
-    # a higher-order exists() — no containment self-joins
     per_span = (hits.groupBy("doc_id", "span_offset")
                 .agg(F.collect_set(F.struct("start", "n")).alias("occs"),
-                     F.collect_list(F.struct("start", "n", "gram",
-                                             "geoname_id")).alias("cands")))
+                     F.collect_list(F.struct(*cand_cols)).alias("cands")))
     kept = F.filter(
         F.col("cands"),
         lambda c: ~F.exists(
@@ -121,13 +126,25 @@ def detect_mentions(documents: DataFrame, places: DataFrame,
             lambda o: (o["start"] <= c["start"])
             & (o["start"] + o["n"] >= c["start"] + c["n"])
             & (o["n"] > c["n"])))
-    return (per_span
-            .select("doc_id", "span_offset", F.explode(kept).alias("m"))
-            .select("doc_id", "span_offset",
-                    F.col("m.start").alias("start"),
-                    F.col("m.n").alias("n"),
-                    F.col("m.gram").alias("mention_text"),
-                    F.col("m.geoname_id").alias("geoname_id")))
+    out = (per_span
+           .select("doc_id", "span_offset", F.explode(kept).alias("m"))
+           .select("doc_id", "span_offset",
+                   F.col("m.start").alias("start"),
+                   F.col("m.n").alias("n"),
+                   F.col("m.gram").alias("mention_text"),
+                   F.col("m.geoname_id").alias("geoname_id"),
+                   *([F.col("m.population").alias("population")]
+                     if cap is not None else [])))
+    if cap is not None:
+        # nested-lambda ranking re-evaluates the containment expression per
+        # element (cubic); a window over the exploded rows is cheaper
+        from pyspark.sql import Window
+        w = (Window.partitionBy("doc_id", "span_offset", "start", "n")
+             .orderBy(F.col("population").desc_nulls_last(),
+                      F.col("geoname_id").asc()))
+        out = (out.withColumn("cr", F.row_number().over(w))
+               .where(F.col("cr") <= cap).drop("cr", "population"))
+    return out
 
 
 def mention_contexts(documents: DataFrame, places: DataFrame,
