@@ -21,8 +21,6 @@ from pyspark.sql import functions as F
 from geo_linked_open_data_kg_spark.functions.geo import haversine_km
 from geo_linked_open_data_kg_spark.operators.mentions import (
     alias_map,
-    detect_mentions,
-    mention_contexts,
     ngram_candidates,
     text_spans,
 )
@@ -34,74 +32,113 @@ MAX_CANDIDATES_PER_OCC = 20   # reconcile.py:61-63 ORDER BY population LIMIT 20
 MAX_FUZZY_PER_GRAM = 5
 
 
-def cap_candidates(mentions: DataFrame, places: DataFrame,
-                   k: int = MAX_CANDIDATES_PER_OCC) -> DataFrame:
-    """Bound per-occurrence candidate fan-out the way the reference does
-    (ORDER BY population DESC NULLS LAST LIMIT 20, reconcile.py:61-63).
-    Same-name gazetteer collisions otherwise multiply every downstream
-    shuffle by the collision factor."""
-    w = (Window.partitionBy(*OCC_KEYS)
-         .orderBy(F.col("population").desc_nulls_last(),
-                  F.col("geoname_id").asc()))
-    return (mentions
-            .join(places.select("geoname_id", "population"), "geoname_id")
-            .withColumn("cr", F.row_number().over(w))
-            .where(F.col("cr") <= k)
-            .drop("cr", "population"))
+def scored_exact_candidates(documents: DataFrame, places: DataFrame,
+                            broadcast_aliases: bool = True) -> DataFrame:
+    """Fused stage 1+2 exact path: detection, longest-match containment,
+    admin/coordinate context attachment (reconcile.py:158-195/:113-156)
+    and strategy scoring, all as span-local array expressions behind ONE
+    shuffle (the per-span groupBy).
 
+    exact -> 0.7; administrative -> 0.95; geographic -> 1 - d/25km.
+    Candidate attributes ride the broadcast alias map, so no
+    occurrence-level joins exist at all — the dominant cost is the n-gram
+    explode and one corpus-wide groupBy.
 
-def _ctx_per_occurrence(ctx: DataFrame) -> DataFrame:
-    """Collapse context rows to one per occurrence: a set of
-    'cc|admin1' keys plus the coordinate context."""
-    return (ctx.groupBy(*OCC_KEYS, "mention_text")
-            .agg(F.sort_array(F.collect_set(
-                F.concat_ws("|", "ctx_country_code", "ctx_admin1_code")))
-                .alias("admin_ctx_keys"),
-                F.max("ctx_lat").alias("ctx_lat"),
-                F.max("ctx_lon").alias("ctx_lon")))
-
-
-def score_candidates(mentions: DataFrame, ctx: DataFrame,
-                     places: DataFrame) -> DataFrame:
-    """Strategy scores for every (occurrence, candidate) pair.
-
-    exact -> 0.7; administrative -> 0.95 (reconcile.py:158-195);
-    geographic -> 1 - d/r within r=25 km (reconcile.py:147-149).
-    Keeps the best strategy per pair (the cascade's dedup,
-    reconcile.py:259-333).
+    Output: (doc_id, span_offset, start, n, mention_text, geoname_id,
+    strategy, confidence, population).
     """
-    ctx1 = _ctx_per_occurrence(ctx)
-    cand = (mentions.join(ctx1.drop("mention_text"), OCC_KEYS, "inner")
-            .join(places.select("geoname_id",
-                                F.col("latitude").alias("cand_lat"),
-                                F.col("longitude").alias("cand_lon"),
-                                F.col("country_code").alias("cand_cc"),
-                                F.col("admin1_code").alias("cand_a1"),
-                                "population"),
-                  "geoname_id"))
+    grams = (ngram_candidates(text_spans(documents))
+             .where(F.length("gram_norm").between(2, 60)))
+    am = alias_map(places).join(
+        places.select("geoname_id", "population",
+                      F.col("latitude").alias("cand_lat"),
+                      F.col("longitude").alias("cand_lon"),
+                      F.col("country_code").alias("cand_cc"),
+                      F.col("admin1_code").alias("cand_a1"),
+                      (F.col("feature_code") == "ADM1").alias("is_adm1")),
+        "geoname_id")
+    if broadcast_aliases:
+        am = F.broadcast(am)
+    cand_cols = ["start", "n", "gram", "geoname_id", "population",
+                 "cand_lat", "cand_lon", "cand_cc", "cand_a1", "is_adm1"]
+    hits = (grams.join(am, grams.gram_norm == am.alias_norm, "inner")
+            .select("doc_id", "span_offset", *cand_cols))
+    per_span = (hits.groupBy("doc_id", "span_offset")
+                .agg(F.collect_set(F.struct("start", "n")).alias("occs"),
+                     F.collect_list(F.struct(*cand_cols)).alias("cands")))
+    spans = text_spans(documents).select("doc_id", "span_offset", "tokens")
+    kept_expr = F.filter(
+        F.col("cands"),
+        lambda c: ~F.exists(
+            F.col("occs"),
+            lambda o: (o["start"] <= c["start"])
+            & (o["start"] + o["n"] >= c["start"] + c["n"])
+            & (o["n"] > c["n"])))
+    # lazy localCheckpoint = optimizer barrier: `kept` materializes once
+    # per span instead of being re-inlined into every lambda below
+    base = (per_span.join(spans, ["doc_id", "span_offset"])
+            .select("doc_id", "span_offset", "tokens",
+                    kept_expr.alias("kept"))
+            .localCheckpoint(eager=False))
 
-    admin_hit = F.array_contains(
-        F.col("admin_ctx_keys"),
-        F.concat_ws("|", F.col("cand_cc"), F.col("cand_a1")))
-    d = haversine_km(F.col("ctx_lat"), F.col("ctx_lon"),
-                     F.col("cand_lat"), F.col("cand_lon"))
-    geo_conf = F.when(
-        F.col("ctx_lat").isNotNull() & (d <= GEO_CTX_RADIUS_KM),
-        1.0 - d / GEO_CTX_RADIUS_KM)
+    kept = F.col("kept")
+    toks = F.col("tokens")
 
-    scored = cand.withColumn(
-        "strategy",
-        F.when(admin_hit, F.lit("administrative"))
-        .when(geo_conf.isNotNull(), F.lit("geographic"))
-        .otherwise(F.lit("exact"))
-    ).withColumn(
-        "confidence",
-        F.round(
-            F.when(admin_hit, F.lit(0.95))
-            .when(geo_conf.isNotNull(), geo_conf)
-            .otherwise(F.lit(0.7)), 4))
-    return scored.select(*OCC_KEYS, "mention_text", "geoname_id", "strategy",
-                         "confidence", "population")
+    def tok(i):  # token at 0-based index i
+        return F.element_at(toks, (i + 1).cast("int"))
+
+    def scored(c):
+        after = tok(c["start"] + c["n"])
+        # admin context: `<mention> , <ADM1 occurrence>` whose admin codes
+        # match this candidate's (reconcile.py:158-195)
+        admin_hit = (after == ",") & F.exists(
+            kept, lambda a: a["is_adm1"]
+            & (a["start"] == c["start"] + c["n"] + 1)
+            & a["cand_a1"].eqNullSafe(c["cand_a1"])
+            & a["cand_cc"].eqNullSafe(c["cand_cc"]))
+        # coordinate context: `<mention> at <lat> <lon>` (reconcile.py:113-156)
+        ctx_lat = F.when(after == "at",
+                         tok(c["start"] + c["n"] + 1).try_cast("double"))
+        ctx_lon = F.when(after == "at",
+                         tok(c["start"] + c["n"] + 2).try_cast("double"))
+        d = haversine_km(ctx_lat, ctx_lon, c["cand_lat"], c["cand_lon"])
+        geo_conf = F.when(ctx_lat.isNotNull() & ctx_lon.isNotNull()
+                          & (d <= GEO_CTX_RADIUS_KM),
+                          1.0 - d / GEO_CTX_RADIUS_KM)
+        # an occurrence that IS an admin context of a preceding mention is
+        # context, not a mention — drop all its candidates
+        is_ctx_occ = F.exists(
+            kept, lambda a: a["is_adm1"] & (a["start"] == c["start"])
+            & (a["n"] == c["n"])) & F.exists(
+            kept, lambda m: (m["start"] + m["n"] + 1 == c["start"])
+            & (tok(m["start"] + m["n"]) == ","))
+        return F.struct(
+            c["start"].alias("start"), c["n"].alias("n"),
+            c["gram"].alias("mention_text"),
+            c["geoname_id"].alias("geoname_id"),
+            c["population"].alias("population"),
+            F.when(admin_hit, F.lit("administrative"))
+            .when(geo_conf.isNotNull(), F.lit("geographic"))
+            .otherwise(F.lit("exact")).alias("strategy"),
+            F.round(F.when(admin_hit, F.lit(0.95))
+                    .when(geo_conf.isNotNull(), geo_conf)
+                    .otherwise(F.lit(0.7)), 4).alias("confidence"),
+            is_ctx_occ.alias("is_ctx_occ"))
+
+    # context occurrences stay in the output flagged (is_ctx_occ): the
+    # fuzzy fallback must still treat their token ranges as exact-matched,
+    # or admin-name surfaces leak into lev-1 matching
+    out = (base
+           .select("doc_id", "span_offset",
+                   F.explode(F.transform(kept, scored)).alias("m")))
+    return out.select(
+        "doc_id", "span_offset", F.col("m.start").alias("start"),
+        F.col("m.n").alias("n"), F.col("m.mention_text").alias("mention_text"),
+        F.col("m.geoname_id").alias("geoname_id"),
+        F.col("m.strategy").alias("strategy"),
+        F.col("m.confidence").alias("confidence"),
+        F.col("m.population").alias("population"),
+        F.col("m.is_ctx_occ").alias("is_ctx_occ"))
 
 
 def fuzzy_candidates(grams: DataFrame, places: DataFrame,
@@ -194,27 +231,28 @@ def link_mentions(documents: DataFrame, places: DataFrame,
     strategy, confidence, rank) — top-k per occurrence, threshold applied,
     deterministic total order.
     """
-    # grams stay LAZY (a single-pass explode is cheaper to recompute for
-    # the fuzzy branch than to materialize corpus x ngrams rows); the
-    # occurrence-level mention table is small — checkpoint that instead
-    grams = ngram_candidates(text_spans(documents))
-    mentions = detect_mentions(documents, places,
-                               broadcast_aliases=broadcast_aliases,
-                               grams=grams,
-                               cap=MAX_CANDIDATES_PER_OCC).localCheckpoint()
-    ctx = mention_contexts(documents, places, mentions)
-    scored = score_candidates(mentions, ctx, places)
-
-    strategies = scored.select(*OCC_KEYS, "mention_text", "geoname_id",
-                               "strategy", "confidence", "population")
+    exact_all = scored_exact_candidates(documents, places,
+                                        broadcast_aliases=broadcast_aliases)
+    strategies = (exact_all.where(~F.col("is_ctx_occ"))
+                  .select(*OCC_KEYS, "mention_text", "geoname_id",
+                          "strategy", "confidence", "population"))
     if with_fuzzy:
-        fz = (fuzzy_candidates(grams, places, mentions)
-              .join(places.select("geoname_id", "population"), "geoname_id"))
+        # grams stay lazy: one extra single-pass explode beats
+        # materializing corpus x ngram rows. Fuzzy suppression uses ALL
+        # exact occurrences, including admin-context ones.
+        grams = ngram_candidates(text_spans(documents))
+        fz = (fuzzy_candidates(grams, places, exact_all.select(*OCC_KEYS))
+              .join(F.broadcast(places.select("geoname_id", "population")),
+                    "geoname_id"))
         strategies = strategies.unionByName(fz.select(
             *OCC_KEYS, "mention_text", "geoname_id", "strategy", "confidence",
             "population"))
 
-    # best strategy per (occurrence, candidate), then top-k per occurrence
+    # best strategy per (occurrence, candidate), then top-k per occurrence.
+    # One explicit hash(occurrence) exchange serves BOTH windows: clustering
+    # on the occurrence keys satisfies the (occurrence, candidate) window's
+    # distribution requirement, so only sorts remain between them.
+    strategies = strategies.repartition(*OCC_KEYS)
     pair_w = (Window.partitionBy(*OCC_KEYS, "geoname_id")
               .orderBy(F.col("confidence").desc(), F.col("strategy").asc()))
     best = (strategies.withColumn("pr", F.row_number().over(pair_w))

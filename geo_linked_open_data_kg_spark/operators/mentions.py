@@ -145,82 +145,3 @@ def detect_mentions(documents: DataFrame, places: DataFrame,
         out = (out.withColumn("cr", F.row_number().over(w))
                .where(F.col("cr") <= cap).drop("cr", "population"))
     return out
-
-
-def mention_contexts(documents: DataFrame, places: DataFrame,
-                     mentions: DataFrame) -> DataFrame:
-    """Attach disambiguation context to each mention occurrence (J9/J10).
-
-    - admin context: pattern ``<mention> , <Admin1Occurrence>`` — an
-      occurrence right after a comma whose candidate set contains an ADM1
-      place is context for the preceding mention, not a mention itself
-      (reconcile.py:158-195).
-    - coordinate context: pattern ``<mention> at <lat> <lon>``
-      (reconcile.py:113-156).
-
-    Returns one row per mention OCCURRENCE:
-    (doc_id, span_offset, start, n, mention_text, ctx_admin1_code,
-    ctx_country_code, ctx_lat, ctx_lon), with admin-context token runs
-    removed from the occurrence set.
-    """
-    spans = text_spans(documents)
-    occ = (mentions.select("doc_id", "span_offset", "start", "n",
-                           "mention_text").distinct())
-    occ_t = occ.join(spans.select("doc_id", "span_offset", "tokens"),
-                     ["doc_id", "span_offset"])
-
-    # occurrences whose candidate set contains an ADM1 place
-    adm1 = places.where(F.col("feature_code") == "ADM1").select(
-        "geoname_id", F.col("admin1_code").alias("ctx_admin1_code"),
-        F.col("country_code").alias("ctx_country_code"))
-    # rename keys up front: admin_occ shares lineage with occ_t (both derive
-    # from `mentions`), so unaliased join keys resolve ambiguously
-    admin_occ = (mentions.join(adm1, "geoname_id")
-                 .select(F.col("doc_id").alias("a_doc"),
-                         F.col("span_offset").alias("a_off"),
-                         F.col("start").alias("a_start"),
-                         "ctx_admin1_code", "ctx_country_code"))
-
-    end = F.col("start") + F.col("n")  # 0-based index just past the mention
-    after1 = F.element_at(F.col("tokens"), end + 1)
-    after2 = F.element_at(F.col("tokens"), end + 2)
-    after3 = F.element_at(F.col("tokens"), end + 3)
-    with_coord = (occ_t
-                  .withColumn("ctx_lat", F.when(after1 == "at",
-                                                after2.try_cast("double")))
-                  .withColumn("ctx_lon", F.when(after1 == "at",
-                                                after3.try_cast("double")))
-                  .withColumn("comma_follows", after1 == ","))
-
-    # mention , ADM1-occurrence → admin context for the mention
-    with_admin = (with_coord
-                  .join(admin_occ,
-                        (F.col("doc_id") == F.col("a_doc"))
-                        & (F.col("span_offset") == F.col("a_off"))
-                        & F.col("comma_follows")
-                        & (F.col("a_start")
-                           == F.col("start") + F.col("n") + 1),
-                        "left")
-                  .drop("a_doc", "a_off", "a_start", "comma_follows"))
-
-    # drop occurrences that ARE an admin context of another mention
-    m2 = occ.select(F.col("doc_id").alias("d2"),
-                    F.col("span_offset").alias("o2"),
-                    (F.col("start") + F.col("n")).alias("m_end"))
-    ctx_occ = (occ_t.join(
-        m2,
-        (F.col("doc_id") == F.col("d2")) & (F.col("span_offset") == F.col("o2"))
-        & (F.col("start") == F.col("m_end") + 1)
-        & (F.element_at(F.col("tokens"), F.col("m_end") + 1) == ","),
-        "left_semi").join(
-            mentions.join(adm1, "geoname_id")
-            .select("doc_id", "span_offset", "start", "n"),
-            ["doc_id", "span_offset", "start", "n"], "left_semi"))
-    out = with_admin.join(
-        ctx_occ.select("doc_id", "span_offset", "start", "n"),
-        ["doc_id", "span_offset", "start", "n"], "left_anti")
-    # a mention may match several ADM1 candidates with the same name;
-    # keep them all — stage 2 scores (candidate, context) pairs.
-    return out.select("doc_id", "span_offset", "start", "n", "mention_text",
-                      "ctx_admin1_code", "ctx_country_code", "ctx_lat",
-                      "ctx_lon")
