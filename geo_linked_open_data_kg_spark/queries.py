@@ -1125,6 +1125,45 @@ def ev_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "event_id", "value", "rank"))
 
 
+@register("ev_sessionization", """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes'
+              THEN 0 ELSE 1 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM sessions GROUP BY user_id, session_no
+""")
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — lag + running sum,
+    the batch twin of a stateful streaming session window."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct long cast; hop through TIMESTAMP (UTC)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(ts_s - F.lag(ts_s).over(w) <= 1800, 0).otherwise(1))
+    sessions = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sessions.groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_start"))
+            .select("user_id", F.col("session_no").cast("long")
+                    .alias("session_no"), "n_events", "session_start"))
+
+
 # --------------------------------------------------------- TPC-H-ish -------
 
 @register("tpch_q1_pricing_summary", """
