@@ -82,9 +82,14 @@ spark.stop()
 def main() -> None:
     results = {}
     for cores in LEVELS:
+        env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get(
+            "SPARK_DRIVER_MEM", "48g"))
         out = subprocess.run(
             [sys.executable, "-c", WORKER, str(cores), str(MULT), SF_DIR],
-            capture_output=True, text=True, check=True)
+            capture_output=True, text=True, env=env)
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(f"worker local[{cores}] failed")
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cores] = json.loads(line)
         print(line, flush=True)
