@@ -63,6 +63,10 @@ def main() -> None:
           lambda: q.kg_admin_triples(spark, sf_dir).count())
     timed("kg_same_as_components",
           lambda: q.kg_same_as_components(spark, sf_dir).count())
+    timed("td_minhash_lsh_pairs",
+          lambda: q.td_minhash_lsh_pairs(spark, sf_dir).count())
+    timed("td_ann_brute_topk",
+          lambda: q.td_ann_brute_topk(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 2)
     docs_per_sec = round(n_docs / timings["kg_pipeline"], 1)
