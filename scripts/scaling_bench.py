@@ -21,7 +21,7 @@ import sys
 
 MULT = int(os.environ.get("SCALE_MULT", "4"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-LEVELS = [8, 32]
+LEVELS = [int(x) for x in os.environ.get("SCALE_LEVELS", "8,32").split(",")]
 
 WORKER = r"""
 import json, shutil, sys, tempfile, time
