@@ -9,9 +9,19 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+import pytest  # noqa: E402
+
 from geo_linked_open_data_kg_spark import queries as q  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _no_cache(spark):
+    # cached relations from other test modules substitute InMemoryRelation
+    # for the parquet scan, hiding ReadSchema/PushedFilters
+    spark.catalog.clearCache()
+    yield
 
 
 def _plan(df) -> str:
