@@ -300,6 +300,51 @@ def gen_persons(rng: np.random.Generator, wd: dict, n: int) -> dict:
     return rows
 
 
+def augment_wd_types(wd: dict) -> None:
+    """Full P31 projection (filter_wikidata_full_dump.py:222-225): each
+    entity carries ALL its instance types, first one == the legacy scalar
+    column. ~30% get 1-2 extra types so max-priority-over-list differs
+    from first-claim priority (the multi-typed-entity scoring case).
+    Fresh rng (SEED+7) so pre-existing columns stay byte-identical."""
+    rng = np.random.default_rng(SEED + 7)
+    out = []
+    for base in wd["instance_of_qid"]:
+        types = [base]
+        if rng.random() < 0.30:
+            extra = [t for t in WD_TYPES if t != base]
+            for _ in range(1 + int(rng.integers(0, 2))):
+                t = extra[int(rng.integers(0, len(extra)))]
+                if t not in types:
+                    types.append(t)
+        out.append(types)
+    wd["instance_of_qids"] = out
+
+
+def augment_person_family(persons: dict) -> None:
+    """Family FKs (load_lincs_historical_canadians.py:103-128,199-237):
+    ~20% of persons have a spouse, sometimes recorded on BOTH rows — the
+    canonical-pair (least/greatest) dedup case; ~30% a mother/father FK.
+    Fresh rng (SEED+8) keeps pre-existing columns byte-identical."""
+    rng = np.random.default_rng(SEED + 8)
+    n = len(persons["qid"])
+    qids = persons["qid"]
+    spouses: list[list[str]] = [[] for _ in range(n)]
+    for i in range(n):
+        if rng.random() < 0.20:
+            j = int(rng.integers(0, n))
+            if j != i:
+                spouses[i].append(qids[j])
+                if rng.random() < 0.5:  # reciprocal record -> must dedup
+                    spouses[j].append(qids[i])
+    persons["spouse_qids"] = spouses
+
+    def parent():
+        return [qids[int(rng.integers(0, n))] if rng.random() < 0.3 else None
+                for _ in range(n)]
+    persons["mother_qid"] = parent()
+    persons["father_qid"] = parent()
+
+
 def gen_orgs(rng: np.random.Generator, wd: dict, n: int) -> dict:
     qids = wd["qid"]
     rows = {k: [] for k in ["qid", "name", "headquarters_qid", "location_qids",
@@ -483,7 +528,9 @@ def write_sf(out_dir: str, sf: str) -> None:
     places = gen_places(rng, sizes["places"])
     a1names = _admin1_names(places)
     wd = gen_wikidata(rng, places, sizes["wd"])
+    augment_wd_types(wd)
     persons = gen_persons(rng, wd, sizes["persons"])
+    augment_person_family(persons)
     orgs = gen_orgs(rng, wd, sizes["orgs"])
     po = gen_post_offices(rng, places, a1names, sizes["po"])
     doc_ids, spans_col, truth = gen_documents(rng, places, a1names, sizes["docs"])

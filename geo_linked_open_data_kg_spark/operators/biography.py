@@ -61,6 +61,58 @@ def headquartered_in(orgs: DataFrame, wd: DataFrame) -> DataFrame:
     return _fk_edges(orgs, wd, "headquarters_qid", "headquarteredIn")
 
 
+def spouse_pairs(persons: DataFrame) -> DataFrame:
+    """SPOUSE_OF with canonical-pair dedup: the reference builds
+    tuple(sorted([a, b])) into a set so each marriage is emitted once
+    even when recorded on both spouses' rows
+    (load_lincs_historical_canadians.py:232-237,263-276); here
+    least/greatest + dropDuplicates. Both spouses must exist (the
+    reference's MATCH..MATCH gate)."""
+    ex = (persons.select("qid", F.explode("spouse_qids").alias("sp"))
+          .where(F.col("sp") != F.col("qid")))
+    known = persons.select(F.col("qid").alias("sp"))
+    return (ex.join(known, "sp", "left_semi")
+            .select(F.least("qid", "sp").alias("subj"),
+                    F.lit("spouseOf").alias("pred"),
+                    F.greatest("qid", "sp").alias("obj"),
+                    F.lit(1.0).alias("confidence"),
+                    F.lit("family_record").alias("evidence"))
+            .dropDuplicates(["subj", "obj"]))
+
+
+def parent_of(persons: DataFrame) -> DataFrame:
+    """PARENT_OF parent->child with parentType evidence; both endpoints
+    must exist (load_lincs_historical_canadians.py:213-230,242-256)."""
+    out = []
+    for fk, ptype in (("mother_qid", "mother"), ("father_qid", "father")):
+        known = persons.select(F.col("qid").alias(fk))
+        e = (persons.where(F.col(fk).isNotNull())
+             .join(known, fk, "left_semi")
+             .select(F.col(fk).alias("subj"),
+                     F.lit("parentOf").alias("pred"),
+                     F.col("qid").alias("obj"),
+                     F.lit(1.0).alias("confidence"),
+                     F.lit(ptype).alias("evidence")))
+        out.append(e)
+    return out[0].unionByName(out[1]).dropDuplicates(
+        ["subj", "obj", "evidence"])
+
+
+def citizen_of(persons: DataFrame, wd: DataFrame) -> DataFrame:
+    """CITIZEN_OF via P27 (ENTITY_LINKING_PLAN_UPDATED.md:161-171);
+    citizenship must resolve to a country some known place belongs to
+    (the country-QID domain of the gazetteer)."""
+    countries = wd.select(F.col("country_qid").alias("citizenship_qid")) \
+        .where(F.col("citizenship_qid").isNotNull()).distinct()
+    return (persons.where(F.col("citizenship_qid").isNotNull())
+            .join(F.broadcast(countries), "citizenship_qid", "left_semi")
+            .select(F.col("qid").alias("subj"),
+                    F.lit("citizenOf").alias("pred"),
+                    F.col("citizenship_qid").alias("obj"),
+                    F.lit(1.0).alias("confidence"),
+                    F.lit("wikidata_claim").alias("evidence")))
+
+
 def dangling_fk_counts(persons: DataFrame, wd: DataFrame) -> DataFrame:
     """G4 accounting: birth/death FKs with no matching entity, counted
     (not joined). Columns: (fk, n_dangling)."""

@@ -47,11 +47,19 @@ def spatial_candidates(wd: DataFrame, places: DataFrame,
     type_score, conf, wd_priority, gn_priority.
     """
     cover = make_cover_cells_udf(radius_km)
+    # multi-typed entities: wd_priority = MAX type priority over ALL P31
+    # claims (filter_wikidata_full_dump.py:222-225 collects every type;
+    # first-claim-only mis-prioritizes when the dominant type isn't
+    # first). The dim is tiny (dozens of rows) so it rides the plan as a
+    # literal map — zero joins, stays inside whole-stage codegen. Falls
+    # back to the scalar broadcast-join path for legacy single-type input.
+    multi_type = "instance_of_qids" in wd.columns
+    type_cols = ["instance_of_qids"] if multi_type else ["instance_of_qid"]
     probe = (wd
              .select("qid", F.col("name").alias("wd_name"),
                      F.col("latitude").alias("wd_lat"),
                      F.col("longitude").alias("wd_lon"),
-                     "instance_of_qid")
+                     *type_cols)
              .withColumn("cell", F.explode(cover("wd_lat", "wd_lon"))))
     build = (places
              .select("geoname_id", F.col("name").alias("gn_name"),
@@ -70,9 +78,25 @@ def spatial_candidates(wd: DataFrame, places: DataFrame,
     pairs = (pairs
              .join(F.broadcast(feature_priority.withColumnRenamed(
                  "priority", "gn_priority")), "feature_code", "left")
-             .join(F.broadcast(wd_type_priority.withColumnRenamed(
-                 "priority", "wd_priority")), "instance_of_qid", "left")
-             .fillna({"gn_priority": 50, "wd_priority": 50}))
+             .fillna({"gn_priority": 50}))
+    if multi_type:
+        prio = {r["instance_of_qid"]: int(r["priority"])
+                for r in wd_type_priority.collect()}
+        pmap = F.create_map(
+            *[F.lit(x) for kv in sorted(prio.items()) for x in kv])
+        pairs = pairs.withColumn(
+            "wd_priority",
+            F.coalesce(
+                F.array_max(F.filter(
+                    F.transform(F.col("instance_of_qids"),
+                                lambda q: F.try_element_at(pmap, q)),
+                    lambda p: p.isNotNull())),
+                F.lit(50)).cast("long"))
+    else:
+        pairs = (pairs
+                 .join(F.broadcast(wd_type_priority.withColumnRenamed(
+                     "priority", "wd_priority")), "instance_of_qid", "left")
+                 .fillna({"wd_priority": 50}))
 
     ns = name_similarity(F.col("wd_name"), F.col("gn_name"))
     ds = distance_score(F.col("distance_km"))

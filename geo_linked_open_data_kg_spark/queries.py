@@ -144,14 +144,17 @@ WITH pairs AS (
          {_D} AS distance_km,
          CAST({_NS} AS DOUBLE) AS name_sim,
          CAST(COALESCE(fp.priority, 50) AS BIGINT) AS gn_priority,
-         CAST(COALESCE(wp.priority, 50) AS BIGINT) AS wd_priority
+         -- MAX type priority over ALL P31 claims (multi-typed entities)
+         CAST(COALESCE(
+           (SELECT max(wp.priority)
+            FROM read_parquet('{_sp("wd_type_priority")}') wp
+            WHERE list_contains(w.instance_of_qids, wp.instance_of_qid)),
+           50) AS BIGINT) AS wd_priority
   FROM read_parquet('{_sp("wikidata_places")}') w
   JOIN read_parquet('{_sp("places")}') g
     ON {_D} <= 10.0
   LEFT JOIN read_parquet('{_sp("feature_priority")}') fp
     ON g.feature_code = fp.feature_code
-  LEFT JOIN read_parquet('{_sp("wd_type_priority")}') wp
-    ON w.instance_of_qid = wp.instance_of_qid
 ), scored AS (
   SELECT *, CAST({_DS} AS DOUBLE) AS dist_score,
          CAST(gn_priority AS DOUBLE) / 100.0 AS type_score
@@ -265,6 +268,82 @@ def kg_resided_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_linked_open_data_kg_spark.operators import biography
     return biography.resided_in(load(spark, sf_dir, "persons"),
                                 load(spark, sf_dir, "wikidata_places"))
+
+
+@register("kg_spouse_pairs", f"""
+WITH ex AS (
+  SELECT p.qid, s.sp FROM read_parquet('{_sp("persons")}') p,
+       unnest(p.spouse_qids) s(sp)
+  WHERE s.sp <> p.qid
+), gated AS (
+  SELECT ex.qid, ex.sp FROM ex
+  WHERE EXISTS (SELECT 1 FROM read_parquet('{_sp("persons")}') k
+                WHERE k.qid = ex.sp)
+)
+SELECT DISTINCT least(qid, sp) AS subj, 'spouseOf' AS pred,
+       greatest(qid, sp) AS obj, CAST(1.0 AS DOUBLE) AS confidence,
+       'family_record' AS evidence
+FROM gated
+""")
+def kg_spouse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators import biography
+    return biography.spouse_pairs(load(spark, sf_dir, "persons"))
+
+
+@register("kg_parent_of", f"""
+SELECT DISTINCT p.mother_qid AS subj, 'parentOf' AS pred, p.qid AS obj,
+       CAST(1.0 AS DOUBLE) AS confidence, 'mother' AS evidence
+FROM read_parquet('{_sp("persons")}') p
+WHERE p.mother_qid IS NOT NULL AND EXISTS (
+  SELECT 1 FROM read_parquet('{_sp("persons")}') k WHERE k.qid = p.mother_qid)
+UNION
+SELECT DISTINCT p.father_qid, 'parentOf', p.qid, CAST(1.0 AS DOUBLE), 'father'
+FROM read_parquet('{_sp("persons")}') p
+WHERE p.father_qid IS NOT NULL AND EXISTS (
+  SELECT 1 FROM read_parquet('{_sp("persons")}') k WHERE k.qid = p.father_qid)
+""")
+def kg_parent_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators import biography
+    return biography.parent_of(load(spark, sf_dir, "persons"))
+
+
+@register("kg_citizen_of", f"""
+SELECT p.qid AS subj, 'citizenOf' AS pred, p.citizenship_qid AS obj,
+       CAST(1.0 AS DOUBLE) AS confidence, 'wikidata_claim' AS evidence
+FROM read_parquet('{_sp("persons")}') p
+WHERE p.citizenship_qid IS NOT NULL AND EXISTS (
+  SELECT 1 FROM read_parquet('{_sp("wikidata_places")}') w
+  WHERE w.country_qid = p.citizenship_qid)
+""")
+def kg_citizen_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators import biography
+    return biography.citizen_of(load(spark, sf_dir, "persons"),
+                                load(spark, sf_dir, "wikidata_places"))
+
+
+@register("kg_worked_at", f"""
+SELECT DISTINCT p.qid AS subj, 'workedAt' AS pred, w.q AS obj,
+       CAST(1.0 AS DOUBLE) AS confidence, 'wikidata_claim' AS evidence
+FROM read_parquet('{_sp("persons")}') p, unnest(p.work_location_qids) w(q)
+JOIN read_parquet('{_sp("wikidata_places")}') wd ON wd.qid = w.q
+""")
+def kg_worked_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators import biography
+    return biography.worked_at(load(spark, sf_dir, "persons"),
+                               load(spark, sf_dir, "wikidata_places"))
+
+
+@register("kg_headquartered_in", f"""
+SELECT o.qid AS subj, 'headquarteredIn' AS pred, o.headquarters_qid AS obj,
+       CAST(1.0 AS DOUBLE) AS confidence, 'wikidata_claim' AS evidence
+FROM read_parquet('{_sp("organizations")}') o
+JOIN read_parquet('{_sp("wikidata_places")}') w ON o.headquarters_qid = w.qid
+WHERE o.headquarters_qid IS NOT NULL
+""")
+def kg_headquartered_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators import biography
+    return biography.headquartered_in(load(spark, sf_dir, "organizations"),
+                                      load(spark, sf_dir, "wikidata_places"))
 
 
 @register("kg_dangling_fk_counts", f"""

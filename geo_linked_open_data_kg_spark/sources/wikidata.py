@@ -74,24 +74,54 @@ def parse_error_counts(parsed: DataFrame) -> DataFrame:
 
 
 def _claim_item(pid: str):
-    return F.col("e.claims")[pid][0]["mainsnak"]["datavalue"]["value"]["id"]
+    """First VALID item claim: the reference appends only snaks whose
+    datavalue carries an id, then takes the first
+    (filter_wikidata_full_dump.py:212-220) — a leading novalue/somevalue
+    snak must fall through to the next valid one, not yield NULL."""
+    valid = F.filter(
+        F.col("e.claims")[pid],
+        lambda s: s["mainsnak"]["datavalue"]["value"]["id"].isNotNull())
+    return valid[0]["mainsnak"]["datavalue"]["value"]["id"]
 
 
 def _claim_time(pid: str):
     """F10: '+1858-11-01T00:00:00Z' -> '1858-11-01' (regex, lossy
-    historical dates stay strings — parse_wikidata_dump.py:76-91)."""
-    t = F.col("e.claims")[pid][0]["mainsnak"]["datavalue"]["value"]["time"]
+    historical dates stay strings — parse_wikidata_dump.py:76-91).
+    Same first-valid-snak guard as _claim_item."""
+    valid = F.filter(
+        F.col("e.claims")[pid],
+        lambda s: s["mainsnak"]["datavalue"]["value"]["time"].isNotNull())
+    t = valid[0]["mainsnak"]["datavalue"]["value"]["time"]
     return F.regexp_extract(t, r"^\+?(-?\d{1,4}-\d{2}-\d{2})", 1)
 
 
+def _claim_string(pid: str):
+    """String/external-id claims (e.g. P1566 GeoNames ID) store
+    datavalue.value as a plain JSON string, which from_json's struct
+    schema silently nulls out. The reference's _extract_string_value
+    reads datavalue.value directly when type=='string'
+    (filter_wikidata_full_dump.py:59-78); here we re-read it from the
+    raw line with get_json_object, gated on the surviving `type` field.
+    """
+    dtype = F.col("e.claims")[pid][0]["mainsnak"]["datavalue"]["type"]
+    raw = F.get_json_object(
+        F.col("line"), f"$.claims.{pid}[0].mainsnak.datavalue.value")
+    return F.when(dtype == "string", raw)
+
+
 def _instance_of_list():
-    return F.transform(
-        F.coalesce(F.col("e.claims")["P31"],
-                   F.array().cast("array<struct<mainsnak:struct<datavalue:"
-                                  "struct<value:struct<id:string,latitude:"
-                                  "double,longitude:double,time:string,"
-                                  "amount:string>,type:string>>>>")),
-        lambda s: s["mainsnak"]["datavalue"]["value"]["id"])
+    """ALL valid P31 ids, in claim order — the reference collects every
+    instance type, not just the first (filter_wikidata_full_dump.py:
+    222-225); invalid (novalue/somevalue) snaks are dropped."""
+    return F.filter(
+        F.transform(
+            F.coalesce(F.col("e.claims")["P31"],
+                       F.array().cast("array<struct<mainsnak:struct<datavalue:"
+                                      "struct<value:struct<id:string,latitude:"
+                                      "double,longitude:double,time:string,"
+                                      "amount:string>,type:string>>>>")),
+            lambda s: s["mainsnak"]["datavalue"]["value"]["id"]),
+        lambda x: x.isNotNull())
 
 
 def extract_geo_entities(parsed: DataFrame) -> DataFrame:
@@ -116,9 +146,14 @@ def extract_geo_entities(parsed: DataFrame) -> DataFrame:
                    coord["longitude"].alias("longitude"),
                    aliases.alias("alternate_names"),
                    _claim_item("P31").alias("instance_of_qid"),
+                   _instance_of_list().alias("instance_of_qids"),
                    _claim_item("P17").alias("country_qid"),
-                   F.col("e.claims")["P1566"][0]["mainsnak"]["datavalue"]
-                   ["value"]["id"].alias("geonames_id"),
+                   # P1566 is an external-id (string-typed) claim in real
+                   # dumps; struct-style encodings are kept as fallback
+                   F.coalesce(
+                       _claim_string("P1566"),
+                       F.col("e.claims")["P1566"][0]["mainsnak"]["datavalue"]
+                       ["value"]["id"]).alias("geonames_id"),
                    _claim_time("P571").alias("inception_date")))
     return out
 

@@ -120,6 +120,44 @@ def test_wikidata_ndjson_parse(spark, tmp_path):
     assert ppl[0]["birth_date"] == "1815-12-10"
 
 
+WD_STRING_CLAIM_LINES = [
+    # real-dump shape: P1566 (GeoNames ID) is an external-id claim whose
+    # datavalue.value is a PLAIN STRING, not a struct
+    '{"id":"Q64","labels":{"en":{"language":"en","value":"Berlin"}},'
+    '"claims":{"P625":[{"mainsnak":{"datavalue":{"value":'
+    '{"latitude":52.52,"longitude":13.40},"type":"globecoordinate"}}}],'
+    '"P1566":[{"mainsnak":{"datavalue":{"value":"2950159","type":"string"}}}],'
+    # leading novalue P31 snak (no datavalue.value.id) must fall through
+    # to the next valid claim, and the full list must keep every valid id
+    '"P31":[{"mainsnak":{"snaktype":"novalue"}},'
+    '{"mainsnak":{"datavalue":{"value":{"id":"Q515"},"type":"wikibase-entityid"}}},'
+    '{"mainsnak":{"datavalue":{"value":{"id":"Q6256"},"type":"wikibase-entityid"}}}]}}',
+    # struct-style P1566 encoding still accepted as fallback
+    '{"id":"Q65","labels":{"en":{"language":"en","value":"Spandau"}},'
+    '"claims":{"P625":[{"mainsnak":{"datavalue":{"value":'
+    '{"latitude":52.55,"longitude":13.20},"type":"globecoordinate"}}}],'
+    '"P1566":[{"mainsnak":{"datavalue":{"value":{"id":"2830582"},'
+    '"type":"wikibase-entityid"}}}]}}',
+]
+
+
+def test_wikidata_string_claims_and_snaktype_guard(spark, tmp_path):
+    p = str(tmp_path / "dump2.json")
+    with open(p, "w") as f:
+        f.write("\n".join(WD_STRING_CLAIM_LINES))
+    geo = {r["qid"]: r for r in
+           extract_geo_entities(read_ndjson_entities(spark, p)).collect()}
+    # string-typed external-id claim extracted from the raw line
+    assert geo["Q64"]["geonames_id"] == "2950159"
+    # struct-style fallback still works
+    assert geo["Q65"]["geonames_id"] == "2830582"
+    # leading novalue P31 skipped, not NULLed (reference appends only
+    # valid ids then takes the first)
+    assert geo["Q64"]["instance_of_qid"] == "Q515"
+    # full P31 projection keeps every valid type
+    assert geo["Q64"]["instance_of_qids"] == ["Q515", "Q6256"]
+
+
 def test_post_office_coercion(spark):
     raw = spark.createDataFrame(
         [Row(IdNumber="1", Name="Foo P.O.", Province="Saskatchewan",
