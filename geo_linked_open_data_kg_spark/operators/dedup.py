@@ -11,12 +11,21 @@ Scale notes (the 100 TB story):
   on doc_id; band buckets are one groupBy on (band, band_key); candidate
   pairs only ever materialize within a bucket (never the n^2 cross join);
   the final verify re-joins shingle sets for exact Jaccard. Hot buckets
-  (boilerplate docs) are bounded by a per-bucket size cap.
-- simhash: pure map-side per doc + one groupBy on the fingerprint.
-- ngram-jaccard: bounded by requiring a shared rare shingle (block on
-  shingle, AQE handles skewed shingles).
-- embedding near-dup: cosine over LSH buckets (similarity.py) or brute
-  within manageable partitions.
+  (boilerplate docs) are bounded by a per-bucket size cap — the cap is
+  NOT silent: dedup_cap_metrics reports capped buckets and dropped slots.
+- simhash: pure map-side per doc + one groupBy; near-dup pairs via
+  banded hamming search (60-bit fingerprint, 4 bands x 15 bits: any pair
+  at hamming<=3 matches at least one band exactly — pigeonhole — so the
+  band equi-join has full recall for the <=3 radius, never all-pairs).
+- ngram-jaccard: candidate pairs must share a RARE shingle (document
+  frequency <= df_cap). Hot shingles (stop-phrases, boilerplate) are
+  excluded from blocking — they generate quadratic candidates and any
+  true near-dup pair (J>=0.8) shares many rare shingles as well. The
+  exclusion count is reported by dedup_cap_metrics. Exact duplicates of
+  hot-only docs are exact_duplicates' job, not this operator's.
+- embedding near-dup: multi-band LSH buckets (similarity.banded_signature)
+  + in-bucket exact-cosine verify — same shape as minhash-LSH, never the
+  n^2 theta join.
 """
 
 from __future__ import annotations
@@ -32,7 +41,9 @@ from geo_linked_open_data_kg_spark.functions.hashing import (
 
 N_MINHASH = 12
 N_BANDS = 4  # 3 rows per band
-SIMHASH_BITS = 16
+SIMHASH_BITS = 60        # 4 bands x 15 bits, fits signed 64-bit on both engines
+SIMHASH_BANDS = 4
+JACCARD_DF_CAP = 20      # shingles in more docs than this don't block
 
 
 def norm_text(c: Column) -> Column:
@@ -132,13 +143,30 @@ def verify_jaccard(pairs: DataFrame, documents: DataFrame,
             .select("doc_a", "doc_b", "jaccard"))
 
 
-def ngram_jaccard_pairs(documents: DataFrame,
-                        threshold: float = 0.8) -> DataFrame:
-    """Blocked exact n-gram Jaccard: candidate pairs must share >=1
-    shingle (the block), then exact verify. No LSH approximation."""
+def hot_shingles(documents: DataFrame,
+                 df_cap: int = JACCARD_DF_CAP) -> DataFrame:
+    """Shingles whose document frequency exceeds df_cap. By construction
+    this set is small (at most n_shingle_slots / df_cap rows), so it is
+    always broadcastable regardless of corpus size."""
+    return (shingles(documents)
+            .groupBy("shingle").agg(F.count("*").alias("df"))
+            .where(F.col("df") > df_cap))
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.8,
+                        df_cap: int = JACCARD_DF_CAP) -> DataFrame:
+    """Blocked exact n-gram Jaccard: candidate pairs must share >=1 RARE
+    shingle (document frequency <= df_cap), then exact verify. Blocking
+    on every shared shingle is quadratic in hot-shingle frequency at
+    corpus scale; any J>=0.8 pair shares mostly-rare shingles too, so
+    rare-only blocking keeps recall while bounding the block size. The
+    number of excluded hot shingles is reported by dedup_cap_metrics
+    (no silent caps)."""
     sh = shingles(documents)
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    rare = sh.join(F.broadcast(hot_shingles(documents, df_cap)
+                               .select("shingle")), "shingle", "left_anti")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
     cand = (a.join(b, "shingle")
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
@@ -175,17 +203,106 @@ def simhash_duplicate_groups(documents: DataFrame) -> DataFrame:
             .where(F.col("n_docs") > 1))
 
 
-def embedding_near_dups(embeddings: DataFrame,
+def simhash_banded_pairs(documents: DataFrame, bits: int = SIMHASH_BITS,
+                         n_bands: int = SIMHASH_BANDS,
+                         max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs at hamming distance <= max_hamming via banded
+    hamming search: split the fingerprint into n_bands bands; any pair
+    within the radius matches >=1 band exactly (pigeonhole: max_hamming
+    < n_bands differing bits can't touch every band), so per-band
+    equi-joins have full recall without the n^2 cross join.
+    Output: (doc_a, doc_b, hamming)."""
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    fp = simhash(documents, bits)
+    bands = F.explode(F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.shiftright(F.col("simhash"), b * band_bits)
+                 .bitwiseAND(mask).alias("band_val"))
+        for b in range(n_bands)]))
+    banded = (fp.select("doc_id", bands.alias("bb"))
+              .select("doc_id", F.col("bb.band").alias("band"),
+                      F.col("bb.band_val").alias("band_val")))
+    a = banded.select("band", "band_val", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "band_val", F.col("doc_id").alias("doc_b"))
+    cand = (a.join(b, ["band", "band_val"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    fa = fp.select(F.col("doc_id").alias("doc_a"),
+                   F.col("simhash").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"),
+                   F.col("simhash").alias("fp_b"))
+    return (cand.join(fa, "doc_a").join(fb, "doc_b")
+            .withColumn("hamming",
+                        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def embedding_near_dups(embeddings: DataFrame, hyperplanes: DataFrame,
                         threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force baseline; the
-    LSH-bucketed scale path is similarity.ann_lsh_topk)."""
-    from geo_linked_open_data_kg_spark.operators.similarity import cosine
-    a = embeddings.select(F.col("vec_id").alias("id_a"),
-                          F.col("embedding").alias("emb_a"))
-    b = embeddings.select(F.col("vec_id").alias("id_b"),
-                          F.col("embedding").alias("emb_b"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
+    """Embedding-cosine near-duplicate pairs via multi-band LSH buckets
+    + in-bucket exact-cosine verify (same shape as minhash_lsh_pairs —
+    candidates only ever materialize within a (band, bucket), never the
+    all-pairs theta join). At threshold ~0.95 the angle is tiny, so
+    per-band collision probability is near 1 and the OR over bands makes
+    missed true pairs negligible."""
+    from geo_linked_open_data_kg_spark.operators.similarity import (
+        banded_signature,
+        cosine,
+    )
+    sig = banded_signature(embeddings, hyperplanes)
+    a = sig.select("band", "bucket", F.col("vec_id").alias("id_a"))
+    b = sig.select("band", "bucket", F.col("vec_id").alias("id_b"))
+    cand = (a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    emb_d = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    ea = emb_d.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    eb = emb_d.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
             .withColumn("cos", F.round(cosine(F.col("emb_a"),
                                               F.col("emb_b")), 4))
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
+
+
+def dedup_cap_metrics(documents: DataFrame, n_hashes: int = N_MINHASH,
+                      n_bands: int = N_BANDS, max_bucket: int = 50,
+                      df_cap: int = JACCARD_DF_CAP) -> DataFrame:
+    """Audit of every recall-bounding cap in this module (no silent
+    caps): minhash-LSH buckets that hit max_bucket (and how many doc
+    slots the cap dropped), and hot shingles excluded from jaccard
+    blocking. Output: (metric, value)."""
+    rows = n_hashes // n_bands
+    sig = minhash_signatures(documents, n_hashes)
+    bands = []
+    for bnd in range(n_bands):
+        cols = [F.col(f"mh_{bnd * rows + r}") for r in range(rows)]
+        bands.append(sig.select(
+            F.lit(bnd).alias("band"),
+            md5_hex(F.concat_ws("|", *cols)).alias("bucket")))
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    bucket_sizes = banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("n"))
+    mh = bucket_sizes.agg(
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0))
+        .alias("minhash_capped_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, F.col("n") - max_bucket)
+              .otherwise(0)).alias("minhash_dropped_doc_slots"))
+    hot = hot_shingles(documents, df_cap).agg(
+        F.count("*").alias("jaccard_hot_shingles_excluded"))
+    m = mh.crossJoin(hot)
+    cols = ["minhash_capped_buckets", "minhash_dropped_doc_slots",
+            "jaccard_hot_shingles_excluded"]
+    out = None
+    for c in cols:
+        one = m.select(F.lit(c).alias("metric"),
+                       F.coalesce(F.col(c), F.lit(0)).cast("long")
+                       .alias("value"))
+        out = one if out is None else out.unionByName(one)
+    return out

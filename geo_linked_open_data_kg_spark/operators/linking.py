@@ -27,9 +27,26 @@ from geo_linked_open_data_kg_spark.operators.mentions import (
 
 OCC_KEYS = ["doc_id", "span_offset", "start", "n"]
 GEO_CTX_RADIUS_KM = 25.0
-STOP_TOKENS = {"The", "In", "A", "Settlers", "Crops", "Letters"}
+# generic function words only — corpus-specific stop surfaces are DERIVED
+# from document frequency (corpus_stop_surfaces), not hardcoded
+GENERIC_STOP = ["The", "In", "A", "At", "On", "Of", "An", "To"]
+STOP_DOC_RATIO = 0.02  # surfaces in >2% of docs are function language
 MAX_CANDIDATES_PER_OCC = 20   # reconcile.py:61-63 ORDER BY population LIMIT 20
 MAX_FUZZY_PER_GRAM = 5
+
+
+def corpus_stop_surfaces(grams: DataFrame, n_docs: int,
+                         max_doc_ratio: float = STOP_DOC_RATIO) -> DataFrame:
+    """Capitalized surfaces appearing in more than max_doc_ratio of all
+    documents are function language (sentence-leading words, boilerplate
+    phrases), not toponyms — a toponym that common would dominate the
+    corpus. Derived per corpus instead of hardcoding fixture vocabulary;
+    output is vocabulary-sized and broadcastable at any corpus size."""
+    return (grams.where(F.col("gram").rlike("^[A-Z][a-z]"))
+            .groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where(F.col("df") > max_doc_ratio * n_docs)
+            .select("gram"))
 
 
 def scored_exact_candidates(documents: DataFrame, places: DataFrame,

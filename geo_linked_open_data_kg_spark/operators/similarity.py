@@ -8,9 +8,15 @@
   until the final per-query top-k (tiny).
 - `ann_lsh_topk`: the scale path — random-hyperplane LSH (planes from
   the persisted hyperplanes fixture so the DuckDB oracle sees identical
-  buckets), equi-join on bucket signature, top-k within bucket. Recall
-  is approximate by construction; the bench compares its hit rate
-  against the brute-force baseline.
+  buckets) with a multi-band OR-construction: the 16-bit signature is
+  split into N_BANDS bands of ROWS_PER_BAND bits each; a pair is a
+  candidate if ANY band matches, then exact cosine ranks candidates.
+  One band of all 16 bits (the round-1 shape) almost never collides —
+  recall ~0. (bands, rows_per_band) trades recall against candidate
+  volume; the defaults (5x3) hit recall >=0.75 vs the brute baseline on
+  the structure-free random test embeddings (tests assert >=0.6), with
+  ~half the corpus pruned. Real corpora with cluster structure prune
+  far harder at the same recall — retune per dataset, don't hardcode.
 """
 
 from __future__ import annotations
@@ -55,37 +61,68 @@ def ann_brute_topk(embeddings: DataFrame, n_queries: int = 10,
 
 def lsh_signature(embeddings: DataFrame, hyperplanes: DataFrame) -> DataFrame:
     """(vec_id, bucket) — sign-bit string over the persisted hyperplanes.
-    One broadcast join + groupBy; no data-dependent shuffle width."""
-    hp = F.broadcast(hyperplanes.select(
-        "plane_id", F.col("weights").alias("plane")))
+
+    The plane dim is tiny and fixed-size (16 x 64 doubles), so it rides
+    the plan as literal arrays: the signature is PURE map-side column
+    math (zero joins, zero shuffles), unlike a crossJoin+groupBy shape
+    which costs one corpus shuffle per signature build."""
+    planes = sorted(
+        ((r["plane_id"], list(r["weights"])) for r in hyperplanes.collect()))
     emb_d = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    signs = (emb_d.crossJoin(hp)
-             .withColumn("bit", F.when(dot(F.col("emb"),
-                                           F.col("plane")) >= 0, "1")
-                         .otherwise("0")))
-    return (signs.groupBy("vec_id")
-            .agg(F.concat_ws(
-                "", F.transform(
-                    F.array_sort(F.collect_list(
-                        F.struct("plane_id", "bit"))),
-                    lambda s: s["bit"])).alias("bucket")))
+    bits = [
+        F.when(dot(F.col("emb"),
+                   F.array(*[F.lit(float(x)) for x in w])) >= 0, "1")
+        .otherwise("0")
+        for _, w in planes]
+    return emb_d.select("vec_id", F.concat(*bits).alias("bucket"))
+
+
+N_BANDS = 5
+ROWS_PER_BAND = 3
+
+
+def banded_signature(embeddings: DataFrame, hyperplanes: DataFrame,
+                     n_bands: int = N_BANDS,
+                     rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """(vec_id, band, bucket) — the full sign-bit string sliced into
+    bands (multi-band OR-construction). One explode of n_bands structs
+    per vector; no data-dependent shuffle width."""
+    sig = lsh_signature(embeddings, hyperplanes)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.col("bucket").substr(b * rows_per_band + 1,
+                                   F.lit(rows_per_band)).alias("bucket")))
+    return (sig.select("vec_id", F.explode(bands).alias("bb"))
+            .select("vec_id", F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
 
 
 def ann_lsh_topk(embeddings: DataFrame, hyperplanes: DataFrame,
-                 n_queries: int = 10, k: int = 5) -> DataFrame:
-    """Bucketed ANN: exact cosine only within the query's LSH bucket."""
-    sig = lsh_signature(embeddings, hyperplanes)
-    emb_d = (embeddings
-             .select("vec_id",
-                     F.col("embedding").cast("array<double>").alias("emb"))
-             .join(sig, "vec_id"))
-    queries = (emb_d.where(F.col("vec_id") < n_queries)
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("emb").alias("q_emb"), "bucket"))
-    pairs = (queries.join(emb_d.withColumnRenamed("vec_id", "neighbor_id"),
-                          "bucket")
-             .where(F.col("query_id") != F.col("neighbor_id"))
+                 n_queries: int = 10, k: int = 5,
+                 n_bands: int = N_BANDS,
+                 rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """Multi-band bucketed ANN: a neighbour is a candidate if it shares
+    ANY band bucket with the query; exact cosine ranks candidates.
+    Candidate generation never materializes the n^2 cross join — only
+    same-band-bucket pairs, deduped across bands."""
+    sig = banded_signature(embeddings, hyperplanes, n_bands, rows_per_band)
+    emb_d = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    q_sig = (sig.where(F.col("vec_id") < n_queries)
+             .select(F.col("vec_id").alias("query_id"), "band", "bucket"))
+    cand = (q_sig.join(sig.withColumnRenamed("vec_id", "neighbor_id"),
+                       ["band", "bucket"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id").distinct())
+    pairs = (cand
+             .join(F.broadcast(emb_d.select(
+                 F.col("vec_id").alias("query_id"),
+                 F.col("emb").alias("q_emb"))), "query_id")
+             .join(emb_d.withColumnRenamed("vec_id", "neighbor_id"),
+                   "neighbor_id")
              .withColumn("cos", F.round(cosine(F.col("q_emb"),
                                                F.col("emb")), 6)))
     w = (Window.partitionBy("query_id")

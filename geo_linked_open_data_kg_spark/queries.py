@@ -906,9 +906,13 @@ def td_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("td_ngram_jaccard_pairs", f"""
 WITH {_AUG_SQL.lstrip()}, {_SHINGLE_SQL.lstrip()},
-cand AS (
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 20
+), rare AS (
+  SELECT sh.* FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  FROM rare a JOIN rare b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
@@ -932,15 +936,15 @@ def td_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_aug_documents(spark, sf_dir))
 
 
+_SIMHASH_NBITS = 60  # keep in sync with operators.dedup.SIMHASH_BITS
 _SIMHASH_BITSUMS = ", ".join(
     f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
-    for i in range(16))
+    for i in range(_SIMHASH_NBITS))
 _SIMHASH_FP = " + ".join(
-    f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SIMHASH_NBITS))
 
-
-@register("td_simhash", f"""
-WITH {_AUG_SQL.lstrip()},
+_SIMHASH_FP_SQL = f"""
 tok AS (
   SELECT doc_id, u.tok FROM (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS t
@@ -948,20 +952,65 @@ tok AS (
   WHERE u.tok <> ''
 ), h AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 4)) AS BIGINT)
+         CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15)) AS BIGINT)
            AS th
   FROM tok
 ), agg AS (
   SELECT doc_id, {_SIMHASH_BITSUMS} FROM h GROUP BY doc_id
-)
-SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM agg
+), fp AS (
+  SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM agg
+)"""
+
+
+@register("td_simhash", f"""
+WITH {_AUG_SQL.lstrip()}, {_SIMHASH_FP_SQL.lstrip()}
+SELECT doc_id, simhash FROM fp
 """)
 def td_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_linked_open_data_kg_spark.operators.dedup import simhash
     return simhash(_aug_documents(spark, sf_dir))
 
 
-@register("td_embedding_near_dups", """
+@register("td_simhash_banded_pairs", f"""
+WITH {_AUG_SQL.lstrip()}, {_SIMHASH_FP_SQL.lstrip()},
+banded AS (
+  SELECT doc_id, b.b AS band, (simhash >> (15 * b.b)) & 32767 AS band_val
+  FROM fp CROSS JOIN (VALUES (0),(1),(2),(3)) b(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.doc_a
+JOIN fp fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+""")
+def td_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.dedup import (
+        simhash_banded_pairs,
+    )
+    return simhash_banded_pairs(_aug_documents(spark, sf_dir))
+
+
+_BANDED_SIG_SQL = """
+sig AS (
+  SELECT e.vec_id,
+         string_agg(CASE WHEN list_dot_product(e.emb, h.weights) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY h.plane_id)
+           AS full_sig
+  FROM e CROSS JOIN read_parquet('{hp}') h
+  GROUP BY e.vec_id
+), banded AS (
+  SELECT vec_id, b.b AS band, substr(full_sig, b.b * 3 + 1, 3) AS bucket
+  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3),(4)) b(b)
+)"""
+
+
+@register("td_embedding_near_dups", f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
   UNION ALL
@@ -970,11 +1019,18 @@ WITH e AS (
 ), n AS (
   SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
   FROM e
+), {_BANDED_SIG_SQL.lstrip().format(hp=_sp("hyperplanes"))},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 4) AS cos
+FROM cand c
+JOIN n na ON na.vec_id = c.id_a
+JOIN n nb ON nb.vec_id = c.id_b
+WHERE list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) >= 0.95
 """)
 def td_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_linked_open_data_kg_spark.operators.dedup import embedding_near_dups
@@ -982,7 +1038,38 @@ def td_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = emb.unionByName(
         emb.where(F.col("vec_id") % 11 == 0)
         .withColumn("vec_id", F.col("vec_id") + 100000))
-    return embedding_near_dups(aug.select("vec_id", "embedding"))
+    return embedding_near_dups(aug.select("vec_id", "embedding"),
+                               load(spark, sf_dir, "hyperplanes"))
+
+
+@register("td_dedup_cap_metrics", f"""
+WITH {_AUG_SQL.lstrip()}, {_SHINGLE_SQL.lstrip()},
+sig AS (
+  SELECT doc_id, {', '.join(_MH)} FROM sh GROUP BY doc_id
+), banded AS (
+  {_BANDS_SQL}
+), bs AS (
+  SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2
+), mh AS (
+  SELECT coalesce(sum(CASE WHEN n > 50 THEN 1 ELSE 0 END), 0) AS capped,
+         coalesce(sum(CASE WHEN n > 50 THEN n - 50 ELSE 0 END), 0) AS dropped
+  FROM bs
+), hot AS (
+  SELECT count(*) AS c FROM (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 20)
+)
+SELECT 'minhash_capped_buckets' AS metric, CAST(capped AS BIGINT) AS value
+FROM mh
+UNION ALL
+SELECT 'minhash_dropped_doc_slots', CAST(dropped AS BIGINT) FROM mh
+UNION ALL
+SELECT 'jaccard_hot_shingles_excluded', CAST(c AS BIGINT) FROM hot
+""")
+def td_dedup_cap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps audit: every recall-bounding cap in the dedup
+    module reported as a metric row."""
+    from geo_linked_open_data_kg_spark.operators.dedup import dedup_cap_metrics
+    return dedup_cap_metrics(_aug_documents(spark, sf_dir))
 
 
 # -------------------------------------------------- similarity search ------
@@ -1020,23 +1107,22 @@ WITH e AS (
          sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                       x -> x * x))) AS nrm
   FROM embeddings
-), sig AS (
-  SELECT e.vec_id,
-         string_agg(CASE WHEN list_dot_product(e.emb, h.weights) >= 0
-                    THEN '1' ELSE '0' END, '' ORDER BY h.plane_id) AS bucket
-  FROM e CROSS JOIN read_parquet('{_sp("hyperplanes")}') h
-  GROUP BY e.vec_id
-), eb AS (
-  SELECT e.*, sig.bucket FROM e JOIN sig USING (vec_id)
-), q AS (
-  SELECT vec_id AS query_id, emb, nrm, bucket FROM eb WHERE vec_id < 10
+), {_BANDED_SIG_SQL.lstrip().format(hp=_sp("hyperplanes"))},
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+  FROM banded qb JOIN banded nb
+    ON qb.band = nb.band AND qb.bucket = nb.bucket
+  WHERE qb.vec_id < 10 AND qb.vec_id <> nb.vec_id
 ), scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         round({_COS_SQL}, 6) AS cos,
-         row_number() OVER (PARTITION BY q.query_id
-                            ORDER BY round({_COS_SQL}, 6) DESC,
-                                     e.vec_id ASC) AS rank
-  FROM q JOIN eb e ON q.bucket = e.bucket AND q.query_id <> e.vec_id
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(q.emb, e.emb) / (q.nrm * e.nrm), 6) AS cos,
+         row_number() OVER (PARTITION BY c.query_id
+             ORDER BY round(list_dot_product(q.emb, e.emb)
+                            / (q.nrm * e.nrm), 6) DESC,
+                      c.neighbor_id ASC) AS rank
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e ON e.vec_id = c.neighbor_id
 )
 SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
 FROM scored WHERE rank <= 5
