@@ -50,7 +50,8 @@ def corpus_stop_surfaces(grams: DataFrame, n_docs: int,
 
 
 def scored_exact_candidates(documents: DataFrame, places: DataFrame,
-                            broadcast_aliases: bool = True) -> DataFrame:
+                            broadcast_aliases: bool = True,
+                            cap: int = MAX_CANDIDATES_PER_OCC) -> DataFrame:
     """Fused stage 1+2 exact path: detection, longest-match containment,
     admin/coordinate context attachment (reconcile.py:158-195/:113-156)
     and strategy scoring, all as span-local array expressions behind ONE
@@ -64,9 +65,17 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
     Output: (doc_id, span_offset, start, n, mention_text, geoname_id,
     strategy, confidence, population).
     """
-    grams = (ngram_candidates(text_spans(documents))
+    from geo_linked_open_data_kg_spark.operators.mentions import (
+        alias_first_tokens,
+        pruned_ngram_candidates,
+    )
+    base_am = alias_map(places)
+    # first-token pruned gram stream: lossless for the exact equi-join,
+    # skips constructing grams at positions no alias can start at
+    grams = (pruned_ngram_candidates(text_spans(documents),
+                                     alias_first_tokens(base_am))
              .where(F.length("gram_norm").between(2, 60)))
-    am = alias_map(places).join(
+    am = base_am.join(
         places.select("geoname_id", "population",
                       F.col("latitude").alias("cand_lat"),
                       F.col("longitude").alias("cand_lon"),
@@ -80,6 +89,18 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
                  "cand_lat", "cand_lon", "cand_cc", "cand_a1", "is_adm1"]
     hits = (grams.join(am, grams.gram_norm == am.alias_norm, "inner")
             .select("doc_id", "span_offset", *cand_cols))
+    # bound the per-span reducer row: keep at most `cap` candidates per
+    # occurrence (population DESC — the reference's ORDER BY population
+    # LIMIT 20, reconcile.py:61-63). The explicit repartition on the span
+    # keys serves BOTH the cap window and the groupBy (hashpartitioning
+    # on a subset satisfies the window's clustering), so this costs one
+    # sort, not an extra exchange.
+    hits = hits.repartition("doc_id", "span_offset")
+    cap_w = (Window.partitionBy("doc_id", "span_offset", "start", "n")
+             .orderBy(F.col("population").desc_nulls_last(),
+                      F.col("geoname_id").asc()))
+    hits = (hits.withColumn("cr", F.row_number().over(cap_w))
+            .where(F.col("cr") <= cap).drop("cr"))
     per_span = (hits.groupBy("doc_id", "span_offset")
                 .agg(F.collect_set(F.struct("start", "n")).alias("occs"),
                      F.collect_list(F.struct(*cand_cols)).alias("cands")))
@@ -159,7 +180,8 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
 
 
 def fuzzy_candidates(grams: DataFrame, places: DataFrame,
-                     exact_mentions: DataFrame, max_dist: int = 1) -> DataFrame:
+                     exact_mentions: DataFrame, max_dist: int = 1,
+                     stop_surfaces: DataFrame | None = None) -> DataFrame:
     """J8 fuzzy fallback for capitalized n-grams with no exact match.
 
     Blocked equi-join on (token count, length in {L-1, L, L+1}) then
@@ -174,7 +196,10 @@ def fuzzy_candidates(grams: DataFrame, places: DataFrame,
     """
     grams = (grams
              .where(F.col("gram").rlike("^[A-Z][a-z]"))
-             .where(~F.col("gram").isin(*STOP_TOKENS)))
+             .where(~F.col("gram").isin(*GENERIC_STOP)))
+    if stop_surfaces is not None:
+        # corpus-derived stop surfaces (broadcastable by construction)
+        grams = grams.join(F.broadcast(stop_surfaces), "gram", "left_anti")
 
     # match once per DISTINCT surface string, then rejoin to occurrences —
     # the corpus repeats surfaces heavily, the vocabulary doesn't
@@ -254,11 +279,22 @@ def link_mentions(documents: DataFrame, places: DataFrame,
                   .select(*OCC_KEYS, "mention_text", "geoname_id",
                           "strategy", "confidence", "population"))
     if with_fuzzy:
-        # grams stay lazy: one extra single-pass explode beats
-        # materializing corpus x ngram rows. Fuzzy suppression uses ALL
-        # exact occurrences, including admin-context ones.
-        grams = ngram_candidates(text_spans(documents))
-        fz = (fuzzy_candidates(grams, places, exact_all.select(*OCC_KEYS))
+        # the fuzzy path only ever looks at capitalized grams, so gram
+        # construction is position-filtered to capitalized tokens
+        # (lossless); the same pruned stream feeds the DF-derived
+        # stoplist. Fuzzy suppression uses ALL exact occurrences,
+        # including admin-context ones.
+        from geo_linked_open_data_kg_spark.operators.mentions import (
+            capitalized_ngram_candidates,
+        )
+        # three consumers read this stream (stop-DF agg, distinct
+        # surfaces, occurrence rejoin) — materialize it once instead of
+        # re-running the posexplode per DAG branch
+        grams = (capitalized_ngram_candidates(text_spans(documents))
+                 .localCheckpoint(eager=False))
+        stop = corpus_stop_surfaces(grams, documents.count())
+        fz = (fuzzy_candidates(grams, places, exact_all.select(*OCC_KEYS),
+                               stop_surfaces=stop)
               .join(F.broadcast(places.select("geoname_id", "population")),
                     "geoname_id"))
         strategies = strategies.unionByName(fz.select(

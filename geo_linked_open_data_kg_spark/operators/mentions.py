@@ -88,6 +88,74 @@ def ngram_candidates(spans: DataFrame, max_n: int = MAX_NGRAM) -> DataFrame:
             .withColumn("gram_norm", F.lower(F.col("gram"))))
 
 
+def alias_first_tokens(am: DataFrame) -> DataFrame:
+    """Distinct first tokens of the alias vocabulary — the pruning dim
+    for pruned_ngram_candidates. Vocabulary-sized, always broadcastable."""
+    return (am.select(F.element_at(F.split("alias_norm", " +"), 1)
+                      .alias("ft"))
+            .where(F.col("ft") != "").distinct())
+
+
+def position_ngram_candidates(pos: DataFrame,
+                              max_n: int = MAX_NGRAM) -> DataFrame:
+    """Grams built only at the start positions in `pos`
+    (doc_id, span_offset, tokens, start) — shared tail of the pruned
+    gram generators below."""
+    size = F.size("tokens")
+
+    def make(n: int):
+        return F.when(
+            F.col("start") + n <= size,
+            F.struct(F.col("start").cast("int").alias("start"),
+                     F.lit(n).alias("n"),
+                     F.concat_ws(" ", F.slice(F.col("tokens"),
+                                              F.col("start") + 1, n))
+                     .alias("gram")))
+
+    arr = F.array_compact(F.array(*[make(n) for n in range(1, max_n + 1)]))
+    return (pos
+            .select("doc_id", "span_offset", F.explode(arr).alias("ng"))
+            .select("doc_id", "span_offset",
+                    F.col("ng.start").alias("start"),
+                    F.col("ng.n").alias("n"),
+                    F.col("ng.gram").alias("gram"))
+            .withColumn("gram_norm", F.lower(F.col("gram"))))
+
+
+def pruned_ngram_candidates(spans: DataFrame, first_tokens: DataFrame,
+                            max_n: int = MAX_NGRAM) -> DataFrame:
+    """N-grams generated ONLY at token positions whose lowercased token
+    is the first token of some gazetteer alias.
+
+    Lossless for the exact alias equi-join: gram_norm == alias_norm
+    implies equal first tokens, so a gram starting with a non-alias
+    token can never hit. Most corpus tokens are function words / numbers
+    that start no alias, so this skips constructing (and exploding, and
+    hash-probing) the dominant share of gram strings — the #1 cost of
+    detection at scale. The pruning join is a broadcast LEFT SEMI
+    against a vocabulary-sized dim: no shuffle.
+    """
+    pos = (spans
+           .select("doc_id", "span_offset", "tokens",
+                   F.posexplode("tokens").alias("start", "tok"))
+           .withColumn("ft", F.lower(F.col("tok")))
+           .join(F.broadcast(first_tokens), "ft", "left_semi"))
+    return position_ngram_candidates(pos, max_n)
+
+
+def capitalized_ngram_candidates(spans: DataFrame,
+                                 max_n: int = MAX_NGRAM) -> DataFrame:
+    """N-grams generated ONLY at capitalized token positions
+    (`^[A-Z][a-z]`) — lossless for the fuzzy-fallback path, which
+    filters grams to exactly that shape: a gram is capitalized iff its
+    first token is. Pure filter before construction, no join."""
+    pos = (spans
+           .select("doc_id", "span_offset", "tokens",
+                   F.posexplode("tokens").alias("start", "tok"))
+           .where(F.col("tok").rlike("^[A-Z][a-z]")))
+    return position_ngram_candidates(pos, max_n)
+
+
 def detect_mentions(documents: DataFrame, places: DataFrame,
                     broadcast_aliases: bool = True,
                     grams: DataFrame | None = None,
@@ -104,11 +172,12 @@ def detect_mentions(documents: DataFrame, places: DataFrame,
     span-local groupBy where containment resolution AND the candidate cap
     run as higher-order array expressions (no self-joins, no window).
     """
+    am = alias_map(places, with_population=cap is not None)
     if grams is None:
-        grams = ngram_candidates(text_spans(documents))
+        grams = pruned_ngram_candidates(text_spans(documents),
+                                        alias_first_tokens(am))
     # alias lengths bound the useful gram universe — prune before the join
     grams = grams.where(F.length("gram_norm").between(2, 60))
-    am = alias_map(places, with_population=cap is not None)
     if broadcast_aliases:
         am = F.broadcast(am)
     cand_cols = ["start", "n", "gram", "geoname_id"] + (

@@ -236,7 +236,182 @@ def kg_mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                            load(spark, sf_dir, "places"))
 
 
-@register("kg_linked_mentions")  # cascade is not SQL-expressible: rows-only
+# Full value-level oracle for the linking cascade (reconcile.py:237-339
+# semantics): every strategy (exact / administrative / geographic /
+# fuzzy) is SQL-expressible as set operations; blocking keys in the
+# Spark fuzzy path are recall-lossless for lev<=1, so the oracle states
+# the unblocked semantics directly.
+_HAV_CTX = HAVERSINE_SQL_DUCKDB.format(
+    lat1="s.ctx_lat", lon1="s.ctx_lon", lat2="s.cand_lat", lon2="s.cand_lon")
+
+_LINKED_ORACLE = f"""
+WITH spans AS (
+  SELECT doc_id, s."text" AS text, s."offset" AS span_offset
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{_sp("geo_documents")}'))
+  WHERE s.kind = 'text'
+), toks AS (
+  SELECT doc_id, span_offset, regexp_split_to_array(text, ' +') AS tokens
+  FROM spans
+), grams AS (
+  SELECT doc_id, span_offset, CAST(u.i - 1 AS INTEGER) AS start,
+         CAST(n.n AS INTEGER) AS n,
+         array_to_string(tokens[u.i:u.i+n.n-1], ' ') AS gram
+  FROM toks
+  CROSS JOIN (VALUES (1),(2),(3),(4)) n(n)
+  CROSS JOIN LATERAL unnest(generate_series(1, len(tokens) + 1 - n.n)) u(i)
+), aliases AS (
+  SELECT DISTINCT lower(trim(a.alias)) AS alias_norm, geoname_id
+  FROM (
+    SELECT geoname_id, unnest(list_concat([name, ascii_name],
+                              coalesce(alternate_names, []))) AS alias
+    FROM read_parquet('{_sp("places")}')
+  ) a WHERE a.alias IS NOT NULL AND trim(a.alias) <> ''
+), attrs AS (
+  SELECT al.alias_norm, al.geoname_id, p.population,
+         p.latitude AS cand_lat, p.longitude AS cand_lon,
+         p.country_code AS cand_cc, p.admin1_code AS cand_a1,
+         (p.feature_code = 'ADM1') AS is_adm1
+  FROM aliases al
+  JOIN read_parquet('{_sp("places")}') p USING (geoname_id)
+), hits AS (
+  SELECT g.doc_id, g.span_offset, g.start, g.n, g.gram, a.geoname_id,
+         a.population, a.cand_lat, a.cand_lon, a.cand_cc, a.cand_a1,
+         a.is_adm1
+  FROM grams g JOIN attrs a ON lower(g.gram) = a.alias_norm
+  WHERE length(g.gram) BETWEEN 2 AND 60
+), capped AS (
+  SELECT * FROM (
+    SELECT h.*, row_number() OVER (
+        PARTITION BY doc_id, span_offset, start, n
+        ORDER BY population DESC NULLS LAST, geoname_id ASC) AS cr
+    FROM hits h) WHERE cr <= 20
+), occ AS (
+  SELECT DISTINCT doc_id, span_offset, start, n FROM capped
+), keptocc AS (
+  SELECT o.* FROM occ o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM occ o2
+    WHERE o2.doc_id = o.doc_id AND o2.span_offset = o.span_offset
+      AND o2.start <= o.start AND o2.start + o2.n >= o.start + o.n
+      AND o2.n > o.n)
+), kept AS (
+  SELECT c.* FROM capped c
+  JOIN keptocc k USING (doc_id, span_offset, start, n)
+), scored0 AS (
+  SELECT k.*, t.tokens[k.start + k.n + 1] AS after,
+         CASE WHEN t.tokens[k.start + k.n + 1] = 'at'
+              THEN TRY_CAST(t.tokens[k.start + k.n + 2] AS DOUBLE) END
+           AS ctx_lat,
+         CASE WHEN t.tokens[k.start + k.n + 1] = 'at'
+              THEN TRY_CAST(t.tokens[k.start + k.n + 3] AS DOUBLE) END
+           AS ctx_lon
+  FROM kept k JOIN toks t USING (doc_id, span_offset)
+), scored1 AS (
+  SELECT s.*,
+         (s.after = ',' AND EXISTS (
+            SELECT 1 FROM kept a
+            WHERE a.doc_id = s.doc_id AND a.span_offset = s.span_offset
+              AND a.is_adm1 AND a.start = s.start + s.n + 1
+              AND a.cand_a1 IS NOT DISTINCT FROM s.cand_a1
+              AND a.cand_cc IS NOT DISTINCT FROM s.cand_cc)) AS admin_hit,
+         CASE WHEN s.ctx_lat IS NOT NULL AND s.ctx_lon IS NOT NULL
+                   AND {_HAV_CTX} <= 25.0
+              THEN 1.0 - {_HAV_CTX} / 25.0 END AS geo_conf,
+         (EXISTS (
+            SELECT 1 FROM kept a
+            WHERE a.doc_id = s.doc_id AND a.span_offset = s.span_offset
+              AND a.is_adm1 AND a.start = s.start AND a.n = s.n)
+          AND EXISTS (
+            SELECT 1 FROM kept m JOIN toks tm
+              ON tm.doc_id = m.doc_id AND tm.span_offset = m.span_offset
+            WHERE m.doc_id = s.doc_id AND m.span_offset = s.span_offset
+              AND m.start + m.n + 1 = s.start
+              AND tm.tokens[m.start + m.n + 1] = ',')) AS is_ctx_occ
+  FROM scored0 s
+), exact AS (
+  SELECT doc_id, span_offset, start, n, gram AS mention_text, geoname_id,
+         CASE WHEN admin_hit THEN 'administrative'
+              WHEN geo_conf IS NOT NULL THEN 'geographic'
+              ELSE 'exact' END AS strategy,
+         round(CAST(CASE WHEN admin_hit THEN 0.95
+                         WHEN geo_conf IS NOT NULL THEN geo_conf
+                         ELSE 0.7 END AS DOUBLE), 4) AS confidence,
+         population
+  FROM scored1 WHERE NOT is_ctx_occ
+), fgrams AS (
+  SELECT * FROM grams
+  WHERE regexp_matches(gram, '^[A-Z][a-z]')
+    AND gram NOT IN ('The','In','A','At','On','Of','An','To')
+    AND gram NOT IN (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS df FROM grams
+        WHERE regexp_matches(gram, '^[A-Z][a-z]') GROUP BY gram)
+      WHERE df > 0.02 * (SELECT count(*)
+                         FROM read_parquet('{_sp("geo_documents")}')))
+), dsurf AS (
+  SELECT DISTINCT gram, lower(gram) AS gram_norm, n,
+         length(lower(gram)) AS gram_len
+  FROM fgrams
+), fhits AS (
+  SELECT DISTINCT d.gram, d.n, d.gram_len, a.geoname_id,
+         levenshtein(d.gram_norm, a.alias_norm) AS lev
+  FROM dsurf d
+  JOIN (SELECT alias_norm, geoname_id,
+               len(string_split(alias_norm, ' ')) AS alias_n,
+               length(alias_norm) AS alias_len
+        FROM aliases) a
+    ON d.n = a.alias_n AND abs(d.gram_len - a.alias_len) <= 1
+   AND (substr(d.gram_norm, 1, 1) = substr(a.alias_norm, 1, 1)
+        OR substr(d.gram_norm, -1, 1) = substr(a.alias_norm, -1, 1))
+  WHERE levenshtein(d.gram_norm, a.alias_norm) BETWEEN 1 AND 1
+), fcap AS (
+  SELECT * FROM (
+    SELECT fh.*, row_number() OVER (PARTITION BY gram, n
+        ORDER BY lev ASC, geoname_id ASC) AS fr FROM fhits fh)
+  WHERE fr <= 5
+), focc AS (
+  SELECT f.doc_id, f.span_offset, f.start, f.n, f.gram,
+         c.geoname_id, c.lev, c.gram_len
+  FROM fgrams f JOIN fcap c USING (gram, n)
+), fanti AS (
+  SELECT fo.* FROM focc fo
+  WHERE NOT EXISTS (
+    SELECT 1 FROM keptocc k
+    WHERE k.doc_id = fo.doc_id AND k.span_offset = fo.span_offset
+      AND k.start <= fo.start AND k.start + k.n >= fo.start + fo.n)
+), fz AS (
+  SELECT fa.doc_id, fa.span_offset, fa.start, fa.n,
+         fa.gram AS mention_text, fa.geoname_id,
+         'fuzzy' AS strategy,
+         round(1.0 - CAST(fa.lev AS DOUBLE)
+               / greatest(fa.gram_len, 1), 4) AS confidence,
+         p.population
+  FROM fanti fa
+  JOIN read_parquet('{_sp("places")}') p USING (geoname_id)
+), allc AS (
+  SELECT * FROM exact UNION ALL SELECT * FROM fz
+), best AS (
+  SELECT * FROM (
+    SELECT a.*, row_number() OVER (
+        PARTITION BY doc_id, span_offset, start, n, geoname_id
+        ORDER BY confidence DESC, strategy ASC) AS pr FROM allc a)
+  WHERE pr = 1
+), ranked AS (
+  SELECT doc_id, span_offset, start, n, mention_text, geoname_id,
+         strategy, confidence,
+         row_number() OVER (PARTITION BY doc_id, span_offset, start, n
+             ORDER BY confidence DESC, population DESC, geoname_id ASC)
+           AS rank
+  FROM best
+)
+SELECT doc_id, span_offset, start, n, mention_text, geoname_id, strategy,
+       confidence, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10 AND confidence >= 0.5
+"""
+
+
+@register("kg_linked_mentions", _LINKED_ORACLE)
 def kg_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_linked_open_data_kg_spark.operators.linking import link_mentions
     return link_mentions(load(spark, sf_dir, "geo_documents"),

@@ -14,13 +14,23 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "geo_kg", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              master: str | None = None,
+              executor_memory: str | None = None) -> SparkSession:
+    """`master` override supports `local-cluster[N,cores,mem_mb]` — real
+    multi-executor JVMs (own heap/GC/spill per executor), used by the
+    scaling bench to evidence the N-vs-4N-executors criterion without a
+    cluster manager."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sp = shuffle_partitions or max(cores, 8)
-    return (
+    b = (
         SparkSession.builder
-        .master(f"local[{cores}]")
-        .appName(app)
+        .master(master or f"local[{cores}]")
+        .appName(app))
+    if executor_memory:
+        b = b.config("spark.executor.memory", executor_memory)
+    return (
+        b
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,15 +1,21 @@
-"""Two-parallelism-level scaling bench (the north rule's N vs 4N cluster
-criterion, evidenced in-sandbox per BASELINE.md: identical job + identical
-input at local[8] and local[32]).
+"""Two-cluster-size scaling bench (the north rule's N vs 4N executors
+criterion).
+
+Two modes:
+- EXEC_MODE=local-cluster (default): REAL multi-executor evidence —
+  `local-cluster[k, EXEC_CORES, mem]` launches k separate executor JVMs
+  (own heap, GC domain, allocator, spill path), so N executors vs 4N
+  executors is measured directly: LEVELS=1,4 means local-cluster[1,8]
+  vs local-cluster[4,8].
+- EXEC_MODE=local: single-JVM thread scaling (LEVELS are core counts,
+  e.g. 8,32) — kept for comparison with round-1 numbers; under-reads
+  multi-executor scaling (shared heap/GC/memory bus, see BENCH.md).
 
 Job: the full KG pipeline (mention detection -> linking -> triple
-extraction -> canonicalization -> materialize) over the sf0.1 corpus
-inflated x{MULT} (deterministic doc_id-suffixed copies) so per-core work
-dominates fixed scheduling overhead, as it would on a real cluster where
-each executor holds many partitions.
-
-Each level runs in its own subprocess (one SparkContext per JVM).
-Writes BENCH.md with throughputs + scaling efficiency.
+extraction -> canonicalization) over the sf0.1 corpus inflated x{MULT}
+(deterministic doc_id-suffixed copies) so per-core work dominates fixed
+scheduling overhead. Each level runs in its own subprocess (one
+SparkContext per driver JVM). Appends a measurement section to BENCH.md.
 """
 
 from __future__ import annotations
@@ -19,20 +25,26 @@ import os
 import subprocess
 import sys
 
-MULT = int(os.environ.get("SCALE_MULT", "4"))
+MULT = int(os.environ.get("SCALE_MULT", "8"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-LEVELS = [int(x) for x in os.environ.get("SCALE_LEVELS", "8,32").split(",")]
+EXEC_MODE = os.environ.get("EXEC_MODE", "local-cluster")
+EXEC_CORES = int(os.environ.get("EXEC_CORES", "8"))
+EXEC_MEM_MB = int(os.environ.get("EXEC_MEM_MB", "20480"))
+LEVELS = [int(x) for x in os.environ.get("SCALE_LEVELS", "1,4").split(",")]
 
 WORKER = r"""
 import json, shutil, sys, tempfile, time
 sys.path.insert(0, "/root/repo")
-cores = int(sys.argv[1]); mult = int(sys.argv[2]); sf_dir = sys.argv[3]
+master = sys.argv[1]; total_cores = int(sys.argv[2])
+mult = int(sys.argv[3]); sf_dir = sys.argv[4]; exec_mem = sys.argv[5]
 
 from geo_linked_open_data_kg_spark.session import get_spark
 from geo_linked_open_data_kg_spark.sources.registry import load
 from pyspark.sql import functions as F
 
-spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=cores * 2)
+spark = get_spark(f"scale_{total_cores}", cores=total_cores,
+                  shuffle_partitions=total_cores * 2, master=master,
+                  executor_memory=exec_mem)
 spark.sparkContext.setLogLevel("ERROR")
 
 docs = load(spark, sf_dir, "geo_documents")
@@ -41,7 +53,7 @@ copies = [docs.withColumn("doc_id", F.concat("doc_id", F.lit(f"#{i}")))
 inflated = copies[0]
 for c in copies[1:]:
     inflated = inflated.unionByName(c)
-tmp_in = tempfile.mkdtemp(prefix=f"scale_in_{cores}_")
+tmp_in = tempfile.mkdtemp(prefix=f"scale_in_{total_cores}_")
 inflated.write.mode("overwrite").parquet(f"{tmp_in}/geo_documents.parquet")
 n_docs = spark.read.parquet(f"{tmp_in}/geo_documents.parquet").count()
 
@@ -57,7 +69,7 @@ wd = load(spark, sf_dir, "wikidata_places")
 fprio = load(spark, sf_dir, "feature_priority")
 wprio = load(spark, sf_dir, "wd_type_priority")
 big_docs = spark.read.parquet(f"{tmp_in}/geo_documents.parquet") \
-    .repartition(cores * 2, F.hash("doc_id"))
+    .repartition(total_cores * 2, F.hash("doc_id"))
 
 t0 = time.time()
 linked = linking.link_mentions(big_docs, places)
@@ -71,7 +83,8 @@ canon = rewrite_triples(gaz.unionByName(mt.select(*TRIPLE_COLS)),
                         canonical_mapping(gaz.where(F.col("pred") == "sameAs")))
 n_triples = canon.count()
 elapsed = time.time() - t0
-print(json.dumps({"cores": cores, "sec": round(elapsed, 2),
+print(json.dumps({"master": master, "total_cores": total_cores,
+                  "sec": round(elapsed, 2),
                   "n_docs": n_docs, "n_triples": n_triples,
                   "docs_per_sec": round(n_docs / elapsed, 1)}))
 shutil.rmtree(tmp_in, ignore_errors=True)
@@ -79,49 +92,51 @@ spark.stop()
 """
 
 
+def level_master(level: int) -> tuple[str, int]:
+    if EXEC_MODE == "local-cluster":
+        return (f"local-cluster[{level},{EXEC_CORES},{EXEC_MEM_MB}]",
+                level * EXEC_CORES)
+    return (f"local[{level}]", level)
+
+
 def main() -> None:
     results = {}
-    for cores in LEVELS:
+    for level in LEVELS:
+        master, total_cores = level_master(level)
         env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get(
-            "SPARK_DRIVER_MEM", "48g"))
+            "SPARK_DRIVER_MEM", "24g"))
         out = subprocess.run(
-            [sys.executable, "-c", WORKER, str(cores), str(MULT), SF_DIR],
+            [sys.executable, "-c", WORKER, master, str(total_cores),
+             str(MULT), SF_DIR, f"{EXEC_MEM_MB}m"],
             capture_output=True, text=True, env=env)
         if out.returncode != 0:
             sys.stderr.write(out.stderr[-4000:])
-            raise SystemExit(f"worker local[{cores}] failed")
+            raise SystemExit(f"worker {master} failed")
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        results[level] = json.loads(line)
         print(line, flush=True)
 
     lo, hi = LEVELS
     thr_lo = results[lo]["docs_per_sec"]
     thr_hi = results[hi]["docs_per_sec"]
-    eff = thr_hi / (thr_lo * (hi / lo))
-    md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
+    ratio = results[hi]["total_cores"] / results[lo]["total_cores"]
+    eff = thr_hi / (thr_lo * ratio)
+    unit = "executors x %d cores" % EXEC_CORES \
+        if EXEC_MODE == "local-cluster" else "threads"
+    section = f"""
+## Measurement: {EXEC_MODE}, MULT={MULT} ({results[lo]['n_docs']} docs)
 
-Per the north rule's two-cluster-size criterion, evidenced in-sandbox by
-running the IDENTICAL KG-construction job (mention detection -> entity
-linking -> triple extraction -> canonicalization) on the IDENTICAL input
-(sf0.1 corpus inflated x{MULT} = {results[lo]['n_docs']} docs) at two
-local parallelism levels.
+| level | master | wall sec | docs/sec | triples |
+|---|---|---|---|---|
+| N = {lo} {unit} | `{results[lo]['master']}` | {results[lo]['sec']} | {thr_lo} | {results[lo]['n_triples']} |
+| {hi // lo}N = {hi} {unit} | `{results[hi]['master']}` | {results[hi]['sec']} | {thr_hi} | {results[hi]['n_triples']} |
 
-| parallelism | wall sec | docs/sec | triples |
-|---|---|---|---|
-| local[{lo}] (N) | {results[lo]['sec']} | {thr_lo} | {results[lo]['n_triples']} |
-| local[{hi}] (4N) | {results[hi]['sec']} | {thr_hi} | {results[hi]['n_triples']} |
-
-**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8)
-
-Throughput_4N / (4 x Throughput_N) = {thr_hi} / (4 x {thr_lo}) = {eff:.3f}
-
-Reference floor (BASELINE.md): 2-10 places/sec optimized spatial linking,
-~870-1,240 rows/sec bulk load. This engine: {thr_hi} docs/sec end-to-end
-at local[{hi}].
+**Scaling efficiency (N -> {hi // lo}N): {eff:.3f}** =
+{thr_hi} / ({ratio:.0f} x {thr_lo})
 """
-    with open("/root/repo/BENCH.md", "w") as f:
-        f.write(md)
-    print(md)
+    with open("/root/repo/BENCH.md", "a") as f:
+        f.write(section)
+    print(section)
 
 
 if __name__ == "__main__":
