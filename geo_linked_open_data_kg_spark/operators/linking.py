@@ -83,24 +83,24 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
                       F.col("admin1_code").alias("cand_a1"),
                       (F.col("feature_code") == "ADM1").alias("is_adm1")),
         "geoname_id")
+    # candidate cap (the reference's ORDER BY population LIMIT 20,
+    # reconcile.py:61-63), applied on the ALIAS MAP: an occurrence's
+    # candidate set is exactly the alias map's fan-out for its surface,
+    # so capping gids per alias_norm by (population DESC, geoname_id
+    # ASC) is identical to capping per occurrence — but the window runs
+    # over the vocabulary-sized dim, not the corpus-sized hit stream
+    # (no 10^7-row sort, and it bounds the per-span reducer row too).
+    am_w = (Window.partitionBy("alias_norm")
+            .orderBy(F.col("population").desc_nulls_last(),
+                     F.col("geoname_id").asc()))
+    am = (am.withColumn("cr", F.row_number().over(am_w))
+          .where(F.col("cr") <= cap).drop("cr"))
     if broadcast_aliases:
         am = F.broadcast(am)
     cand_cols = ["start", "n", "gram", "geoname_id", "population",
                  "cand_lat", "cand_lon", "cand_cc", "cand_a1", "is_adm1"]
     hits = (grams.join(am, grams.gram_norm == am.alias_norm, "inner")
             .select("doc_id", "span_offset", *cand_cols))
-    # bound the per-span reducer row: keep at most `cap` candidates per
-    # occurrence (population DESC — the reference's ORDER BY population
-    # LIMIT 20, reconcile.py:61-63). The explicit repartition on the span
-    # keys serves BOTH the cap window and the groupBy (hashpartitioning
-    # on a subset satisfies the window's clustering), so this costs one
-    # sort, not an extra exchange.
-    hits = hits.repartition("doc_id", "span_offset")
-    cap_w = (Window.partitionBy("doc_id", "span_offset", "start", "n")
-             .orderBy(F.col("population").desc_nulls_last(),
-                      F.col("geoname_id").asc()))
-    hits = (hits.withColumn("cr", F.row_number().over(cap_w))
-            .where(F.col("cr") <= cap).drop("cr"))
     per_span = (hits.groupBy("doc_id", "span_offset")
                 .agg(F.collect_set(F.struct("start", "n")).alias("occs"),
                      F.collect_list(F.struct(*cand_cols)).alias("cands")))

@@ -46,6 +46,10 @@ spark = get_spark(f"scale_{total_cores}", cores=total_cores,
                   shuffle_partitions=total_cores * 2, master=master,
                   executor_memory=exec_mem)
 spark.sparkContext.setLogLevel("ERROR")
+if master.startswith("local-cluster"):
+    # real executors have their own Python workers: ship the package the
+    # same way production does (spark-submit --py-files)
+    spark.sparkContext.addPyFile("/root/repo/dist/geo_kg_spark.zip")
 
 docs = load(spark, sf_dir, "geo_documents")
 copies = [docs.withColumn("doc_id", F.concat("doc_id", F.lit(f"#{i}")))
@@ -100,6 +104,9 @@ def level_master(level: int) -> tuple[str, int]:
 
 
 def main() -> None:
+    subprocess.run([sys.executable,
+                    os.path.join(os.path.dirname(__file__),
+                                 "make_pyfiles_zip.py")], check=True)
     results = {}
     for level in LEVELS:
         master, total_cores = level_master(level)
