@@ -51,6 +51,12 @@ ORG_TYPE_QIDS = ["Q4830453", "Q43229", "Q891723", "Q783794", "Q6881511",
                  "Q161726", "Q484652", "Q31855", "Q875538", "Q3918",
                  "Q9842", "Q159334"]
 
+# P9: the reference's 12-QID historical-entity set
+# (filter_wikidata_full_dump.py:39-53)
+HISTORICAL_TYPE_QIDS = ["Q133156", "Q1750636", "Q57821", "Q16748868",
+                        "Q3024240", "Q28171280", "Q839954", "Q1266818",
+                        "Q1620908", "Q15632617", "Q19953632", "Q19730508"]
+
 
 def read_ndjson_entities(spark: SparkSession, path: str) -> DataFrame:
     """Tolerant NDJSON scan: drops '['/']' wrapper lines, strips trailing
@@ -154,6 +160,12 @@ def extract_geo_entities(parsed: DataFrame) -> DataFrame:
                        _claim_string("P1566"),
                        F.col("e.claims")["P1566"][0]["mainsnak"]["datavalue"]
                        ["value"]["id"]).alias("geonames_id"),
+                   # P9: P31 ∩ historical set → flag
+                   # (filter_wikidata_full_dump.py:222-225)
+                   F.arrays_overlap(
+                       _instance_of_list(),
+                       F.array(*[F.lit(x) for x in HISTORICAL_TYPE_QIDS]))
+                   .alias("is_historical"),
                    _claim_time("P571").alias("inception_date")))
     return out
 

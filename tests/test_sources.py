@@ -132,10 +132,12 @@ WD_STRING_CLAIM_LINES = [
     '"P31":[{"mainsnak":{"snaktype":"novalue"}},'
     '{"mainsnak":{"datavalue":{"value":{"id":"Q515"},"type":"wikibase-entityid"}}},'
     '{"mainsnak":{"datavalue":{"value":{"id":"Q6256"},"type":"wikibase-entityid"}}}]}}',
-    # struct-style P1566 encoding still accepted as fallback
+    # struct-style P1566 encoding still accepted as fallback; P31 in the
+    # historical set (Q133156 colony) -> is_historical flag (P9)
     '{"id":"Q65","labels":{"en":{"language":"en","value":"Spandau"}},'
     '"claims":{"P625":[{"mainsnak":{"datavalue":{"value":'
     '{"latitude":52.55,"longitude":13.20},"type":"globecoordinate"}}}],'
+    '"P31":[{"mainsnak":{"datavalue":{"value":{"id":"Q133156"},"type":"wikibase-entityid"}}}],'
     '"P1566":[{"mainsnak":{"datavalue":{"value":{"id":"2830582"},'
     '"type":"wikibase-entityid"}}}]}}',
 ]
@@ -156,6 +158,9 @@ def test_wikidata_string_claims_and_snaktype_guard(spark, tmp_path):
     assert geo["Q64"]["instance_of_qid"] == "Q515"
     # full P31 projection keeps every valid type
     assert geo["Q64"]["instance_of_qids"] == ["Q515", "Q6256"]
+    # P9: historical-type flag from the 12-QID set
+    assert geo["Q64"]["is_historical"] is False
+    assert geo["Q65"]["is_historical"] is True
 
 
 def test_post_office_coercion(spark):
