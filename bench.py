@@ -68,6 +68,16 @@ def main() -> None:
     timed("td_ann_brute_topk",
           lambda: q.td_ann_brute_topk(spark, sf_dir).count())
 
+    # ANN-LSH recall vs the brute baseline (non-vacuous gate: the bench
+    # reports the measured recall, tests assert >= 0.6)
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in q.td_ann_brute_topk(spark, sf_dir).collect()}
+    t0 = time.time()
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in q.td_ann_lsh_topk(spark, sf_dir).collect()}
+    timings["td_ann_lsh_topk"] = round(time.time() - t0, 2)
+    ann_recall = round(len(brute & lsh) / max(len(brute), 1), 3)
+
     total = round(sum(timings.values()), 2)
     docs_per_sec = round(n_docs / timings["kg_pipeline"], 1)
     triples_per_sec = round(counts["kg_pipeline"] / timings["kg_pipeline"], 1)
@@ -82,6 +92,7 @@ def main() -> None:
             "triples_per_sec": triples_per_sec,
             "n_docs": n_docs,
             "n_triples": counts["kg_pipeline"],
+            "ann_lsh_recall_vs_brute": ann_recall,
         },
     }))
     spark.stop()
