@@ -56,14 +56,148 @@ def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             .dropDuplicates(["event_id"]))
 
 
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows via the BUILT-IN session_window — the
+    Spark-first shape for plain sessionization (works identically in
+    batch and streaming; the lag+running-sum batch twin is
+    queries.ev_sessionization). Custom state is reserved for semantics
+    the built-in can't express (see sessionize_capped)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events"))
+
+
+SESSION_CAP_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.IntegerType()),
+])
+
+SESSION_CAP_STATE = T.StructType([
+    T.StructField("start_s", T.LongType()),
+    T.StructField("last_s", T.LongType()),
+    T.StructField("n", T.IntegerType()),
+])
+
+
+def make_capped_session_fn(gap_minutes: int = 30,
+                           max_session_minutes: int = 240):
+    """Session semantics the built-in session_window CANNOT express:
+    gap-based sessions that additionally SPLIT when a session exceeds a
+    maximum duration (billing/abuse-control sessionization). Implemented
+    as a custom stateful operator for applyInPandasWithState; the batch
+    twin runs the same walk via applyInPandas (sessionize_capped_batch).
+    """
+    import pandas as pd
+
+    gap_s = gap_minutes * 60
+    cap_s = max_session_minutes * 60
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            start_s, last_s, n = state.get
+        else:
+            start_s = last_s = None
+            n = 0
+        closed = []
+        if state.hasTimedOut:
+            if n:
+                closed.append((user_id, start_s, last_s, n))
+            state.remove()
+        else:
+            ts_all = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+            for t in (ts_all.astype("int64") // 10**9).tolist():
+                if n == 0:
+                    start_s = last_s = t
+                    n = 1
+                elif t - last_s > gap_s or t - start_s > cap_s:
+                    closed.append((user_id, start_s, last_s, n))
+                    start_s = last_s = t
+                    n = 1
+                else:
+                    last_s = t
+                    n += 1
+            state.update((start_s, last_s, n))
+            state.setTimeoutTimestamp((last_s + gap_s) * 1000)
+        if closed:
+            out = pd.DataFrame(closed, columns=["user_id", "session_start",
+                                                "session_end", "n_events"])
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="s")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="s")
+            yield out
+
+    return fn
+
+
+def sessionize_capped_stream(events: DataFrame, gap_minutes: int = 30,
+                             max_session_minutes: int = 240,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Streaming gap+cap sessionization: custom state per user via
+    applyInPandasWithState, sessions flushed by event-time timeout as
+    the watermark passes the gap horizon."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    fn = make_capped_session_fn(gap_minutes, max_session_minutes)
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn, SESSION_CAP_SCHEMA, SESSION_CAP_STATE,
+                "append", GroupStateTimeout.EventTimeTimeout))
+
+
+def sessionize_capped_batch(events: DataFrame, gap_minutes: int = 30,
+                            max_session_minutes: int = 240) -> DataFrame:
+    """Batch twin of sessionize_capped_stream: identical session walk
+    per user via applyInPandas (all sessions close at end-of-input)."""
+    import pandas as pd
+
+    gap_s = gap_minutes * 60
+    cap_s = max_session_minutes * 60
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        user_id = pdf["user_id"].iloc[0]
+        closed = []
+        start_s = last_s = None
+        n = 0
+        for t in (pdf["ts"].sort_values().astype("int64") // 10**9).tolist():
+            if n == 0:
+                start_s = last_s = t
+                n = 1
+            elif t - last_s > gap_s or t - start_s > cap_s:
+                closed.append((user_id, start_s, last_s, n))
+                start_s = last_s = t
+                n = 1
+            else:
+                last_s = t
+                n += 1
+        if n:
+            closed.append((user_id, start_s, last_s, n))
+        out = pd.DataFrame(closed, columns=["user_id", "session_start",
+                                            "session_end", "n_events"])
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="s")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="s")
+        return out
+
+    return (events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+            .groupBy("user_id").applyInPandas(fn, SESSION_CAP_SCHEMA))
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
-                      checkpoint_dir: str, timeout_sec: int = 120):
+                      checkpoint_dir: str, timeout_sec: int = 120,
+                      output_mode: str | None = None):
     """Drain everything currently available into an in-memory table
-    (exactly-once over the file source), then stop."""
+    (exactly-once over the file source), then stop. Default output mode:
+    complete for aggregations; pass "append" for stateful flatMap ops."""
     q = (stream_df.writeStream
          .format("memory")
          .queryName(query_name)
-         .outputMode("complete" if stream_df.isStreaming else "append")
+         .outputMode(output_mode or "complete")
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())

@@ -42,3 +42,122 @@ def test_stream_matches_batch(spark, tmpdir):
         spark.read.parquet(f"{SF_DIR}/events.parquet"))
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_session_window_builtin_matches_lag_based_batch(spark):
+    """The built-in session_window groups events exactly like the
+    lag+running-sum batch sessionization (queries.ev_sessionization)."""
+    from pyspark.sql import functions as F
+
+    from geo_linked_open_data_kg_spark import queries as q
+    from geo_linked_open_data_kg_spark.streaming.events import session_windows
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sw = session_windows(events.withColumn(
+        "ts", F.col("ts").cast("timestamp")))
+    got = {(r["user_id"], str(r["session_start"])[:19], r["n_events"])
+           for r in sw.collect()}
+    lag = q.ev_sessionization(spark, "/root/testdata/sf0.001")
+    want = {(r["user_id"], r["session_start"], r["n_events"])
+            for r in lag.collect()}  # already 'yyyy-MM-dd HH:mm:ss'
+    assert got == want and len(got) > 0
+
+
+def _py_capped_sessions(rows, gap_s=1800, cap_s=14400):
+    """Pure-Python reference for gap+cap sessionization."""
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for u, t in rows:
+        by_user[u].append(t)
+    out = set()
+    for u, ts in by_user.items():
+        ts.sort()
+        start = last = None
+        n = 0
+        for t in ts:
+            if n == 0:
+                start = last = t
+                n = 1
+            elif t - last > gap_s or t - start > cap_s:
+                out.add((u, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        if n:
+            out.add((u, start, last, n))
+    return out
+
+
+def test_capped_sessionization_batch_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from geo_linked_open_data_kg_spark.streaming.events import (
+        sessionize_capped_batch,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = {(r["user_id"],
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"])
+           for r in sessionize_capped_batch(events).collect()}
+    rows = [(r["user_id"], int(r["ts_s"]))
+            for r in events.select(
+                "user_id",
+                F.col("ts").cast("timestamp").cast("long").alias("ts_s"))
+            .collect()]
+    assert got == _py_capped_sessions(rows) and len(got) > 0
+    # the duration cap must actually split at least one long session
+    # (else the operator is indistinguishable from plain gap sessions)
+    plain = _py_capped_sessions(rows, cap_s=10**12)
+    assert len(got) >= len(plain)
+
+
+def test_capped_sessionization_stream_matches_batch(spark, tmpdir):
+    """applyInPandasWithState twin: sentinel far-future events per user
+    close every real session deterministically within availableNow."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geo_linked_open_data_kg_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        sessionize_capped_batch,
+        sessionize_capped_stream,
+        run_available_now,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    sentinel_ts = events.agg(
+        (F.max("ts").cast("long") + 864000).cast("timestamp")).first()[0]
+    sentinels = (events.select("user_id").distinct()
+                 .select(F.lit(-1).cast("long").alias("event_id"),
+                         F.lit(sentinel_ts).alias("ts"), "user_id",
+                         F.lit("sentinel").alias("event_type"),
+                         F.lit(0.0).alias("value"),
+                         F.lit(None).cast("string").alias("props")))
+    aug = events.select([f.name for f in EVENTS_SCHEMA]).unionByName(sentinels)
+
+    src = f"{tmpdir}/ev_caps"
+    os.makedirs(src, exist_ok=True)
+    aug.coalesce(1).write.mode("overwrite").parquet(src)
+
+    from geo_linked_open_data_kg_spark.streaming.events import (
+        read_events_stream,
+    )
+    stream = read_events_stream(spark, src)
+    out = sessionize_capped_stream(stream)
+    run_available_now(out, "ev_caps", f"{tmpdir}/ckpt2",
+                      output_mode="append")
+    got = {tuple(r) for r in spark.sql(
+        "SELECT user_id, CAST(session_start AS LONG), "
+        "CAST(session_end AS LONG), n_events FROM ev_caps "
+        f"WHERE CAST(session_start AS LONG) < {int(sentinel_ts.timestamp())}"
+    ).collect()}
+    want = {(r["user_id"], int(r["session_start"].timestamp()),
+             int(r["session_end"].timestamp()), r["n_events"])
+            for r in sessionize_capped_batch(events).collect()}
+    assert got == want and len(got) > 0
