@@ -33,9 +33,12 @@ def get_spark(app: str = "geo_kg", cores: int | None = None,
         b
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
-        # shuffle bytes are the executor-mode bottleneck (BENCH.md):
-        # zstd compresses the wide hit/gram streams ~30% tighter than lz4
-        .config("spark.io.compression.codec", "zstd")
+        # shuffle codec trade-off (BENCH.md): zstd compresses the wide
+        # hit/gram streams tighter (wins when shuffle-IO-bound, i.e.
+        # many cores on one box / small network pipes); lz4 costs less
+        # CPU (wins on small CPU-bound executors). Overridable per run.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
