@@ -61,6 +61,8 @@ FEATURE_PRIORITY = {
     "ADM1": 85, "ADM2": 75, "ADM3": 65, "ADMD": 60,
     "TOWR": 20, "CH": 25, "SCH": 25, "BDG": 15, "PRK": 30, "CMTY": 20,
     "LK": 40, "STM": 35, "MT": 45,
+    # historical codes (link_hgis_to_lod.py:104-106: PPLH 60, PPLQ 55)
+    "PPLH": 60, "PPLQ": 55, "PPLW": 50,
 }
 POI_CODES = ["TOWR", "CH", "SCH", "BDG", "PRK", "CMTY"]
 
@@ -345,6 +347,29 @@ def augment_person_family(persons: dict) -> None:
     persons["father_qid"] = parent()
 
 
+def augment_places_historical(places: dict) -> None:
+    """Historical gazetteer layer — the inputs of the reference's
+    historical_name_match gate (reconcile.py:197-235: featureCode in
+    PPLH/PPLQ/PPLW OR dissolvedDate set): ~3% of populated places are
+    re-tagged with a GeoNames historical/abandoned code and,
+    independently, ~4% carry a dissolved_date (so code-only,
+    date-only and both-flags rows all exist). Fresh rng (SEED+9) keeps
+    pre-existing columns byte-identical."""
+    rng = np.random.default_rng(SEED + 9)
+    hist_codes = ["PPLH", "PPLQ", "PPLW"]
+    dissolved: list[str | None] = []
+    for i in range(len(places["geoname_id"])):
+        d = None
+        if places["feature_class"][i] == "P":
+            if rng.random() < 0.03:
+                places["feature_code"][i] = \
+                    hist_codes[int(rng.integers(0, 3))]
+            if rng.random() < 0.04:
+                d = f"{1880 + int(rng.integers(0, 80))}-01-01"
+        dissolved.append(d)
+    places["dissolved_date"] = dissolved
+
+
 def gen_orgs(rng: np.random.Generator, wd: dict, n: int) -> dict:
     qids = wd["qid"]
     rows = {k: [] for k in ["qid", "name", "headquarters_qid", "location_qids",
@@ -534,6 +559,10 @@ def write_sf(out_dir: str, sf: str) -> None:
     orgs = gen_orgs(rng, wd, sizes["orgs"])
     po = gen_post_offices(rng, places, a1names, sizes["po"])
     doc_ids, spans_col, truth = gen_documents(rng, places, a1names, sizes["docs"])
+    # post-generation augments (fresh rngs — see each docstring): must run
+    # after every consumer of the main rng stream so existing columns stay
+    # byte-identical across rounds
+    augment_places_historical(places)
 
     pq.write_table(pa.table(places), f"{out_dir}/places.parquet")
     pq.write_table(pa.table(wd), f"{out_dir}/wikidata_places.parquet")

@@ -32,6 +32,11 @@ GENERIC_STOP = ["The", "In", "A", "At", "On", "Of", "An", "To"]
 STOP_DOC_RATIO = 0.02  # surfaces in >2% of docs are function language
 MAX_CANDIDATES_PER_OCC = 20   # reconcile.py:61-63 ORDER BY population LIMIT 20
 MAX_FUZZY_PER_GRAM = 5
+# historical_name_match (reconcile.py:197-235): historical feature codes
+# or a dissolution date mark a former place; strategy confidence 0.9
+# (reconcile.py:305-317)
+HISTORICAL_FEATURE_CODES = ["PPLH", "PPLQ", "PPLW"]
+HISTORICAL_CONFIDENCE = 0.9
 
 
 def corpus_stop_surfaces(grams: DataFrame, n_docs: int,
@@ -56,7 +61,9 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
     and strategy scoring, all as span-local array expressions behind ONE
     shuffle (the per-span groupBy).
 
-    exact -> 0.7; administrative -> 0.95; geographic -> 1 - d/25km.
+    exact -> 0.7; administrative -> 0.95; geographic -> 1 - d/25km;
+    historical (PPLH/PPLQ/PPLW or dissolved candidate,
+    reconcile.py:197-235,305-317) -> 0.9.
     Candidate attributes ride the broadcast alias map, so no
     occurrence-level joins exist at all — the dominant cost is the n-gram
     explode and one corpus-wide groupBy.
@@ -74,12 +81,19 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
     grams = (pruned_ngram_candidates(text_spans(documents),
                                      alias_first_tokens(base_am))
              .where(F.length("gram_norm").between(2, 60)))
+    # per-candidate attributes needed INSIDE the per-span lambda (cross-
+    # candidate admin-context comparison) are packed into one short
+    # adm_key string; everything the lambda does NOT compare across
+    # candidates (population, coordinates, historical flags) rejoins from
+    # a broadcast dim AFTER the explode, keeping the shuffled reducer row
+    # narrow — per-span collect_list heap/spill pressure was the measured
+    # executor-mode scaling bottleneck (BENCH.md round-2 analysis).
+    null_t = ""  # null sentinel: eqNullSafe(a1) AND eqNullSafe(cc)
+    adm_key = F.concat(F.coalesce(F.col("country_code"), F.lit(null_t)),
+                       F.lit("|"),
+                       F.coalesce(F.col("admin1_code"), F.lit(null_t)))
     am = base_am.join(
-        places.select("geoname_id", "population",
-                      F.col("latitude").alias("cand_lat"),
-                      F.col("longitude").alias("cand_lon"),
-                      F.col("country_code").alias("cand_cc"),
-                      F.col("admin1_code").alias("cand_a1"),
+        places.select("geoname_id", "population", adm_key.alias("adm_key"),
                       (F.col("feature_code") == "ADM1").alias("is_adm1")),
         "geoname_id")
     # candidate cap (the reference's ORDER BY population LIMIT 20,
@@ -93,16 +107,15 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
             .orderBy(F.col("population").desc_nulls_last(),
                      F.col("geoname_id").asc()))
     am = (am.withColumn("cr", F.row_number().over(am_w))
-          .where(F.col("cr") <= cap).drop("cr"))
+          .where(F.col("cr") <= cap).drop("cr", "population"))
     if broadcast_aliases:
         am = F.broadcast(am)
-    # the surface string is NOT shuffled: mention_text is rebuilt from
-    # the span's tokens after the groupBy (the gram string is the widest
-    # column of the corpus-sized hit stream; dropping it cuts shuffle
-    # bytes materially — shuffle bandwidth, not CPU, is the executor-mode
-    # bottleneck per BENCH.md round-2 analysis)
-    cand_cols = ["start", "n", "geoname_id", "population",
-                 "cand_lat", "cand_lon", "cand_cc", "cand_a1", "is_adm1"]
+    # neither the surface string NOR the candidate attribute block is
+    # shuffled: mention_text is rebuilt from the span's tokens after the
+    # groupBy, and scoring attributes rejoin broadcast-side post-explode
+    # (shuffle bandwidth, not CPU, is the executor-mode bottleneck per
+    # BENCH.md round-2 analysis)
+    cand_cols = ["start", "n", "geoname_id", "adm_key", "is_adm1"]
     hits = (grams.join(am, grams.gram_norm == am.alias_norm, "inner")
             .select("doc_id", "span_offset", *cand_cols))
     per_span = (hits.groupBy("doc_id", "span_offset")
@@ -132,21 +145,20 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
     def scored(c):
         after = tok(c["start"] + c["n"])
         # admin context: `<mention> , <ADM1 occurrence>` whose admin codes
-        # match this candidate's (reconcile.py:158-195)
+        # match this candidate's (reconcile.py:158-195); adm_key packs
+        # (country_code, admin1_code) with a null sentinel, so key
+        # equality == pairwise eqNullSafe
         admin_hit = (after == ",") & F.exists(
             kept, lambda a: a["is_adm1"]
             & (a["start"] == c["start"] + c["n"] + 1)
-            & a["cand_a1"].eqNullSafe(c["cand_a1"])
-            & a["cand_cc"].eqNullSafe(c["cand_cc"]))
-        # coordinate context: `<mention> at <lat> <lon>` (reconcile.py:113-156)
+            & (a["adm_key"] == c["adm_key"]))
+        # coordinate context: `<mention> at <lat> <lon>` (reconcile.py:
+        # 113-156); the haversine gate runs post-explode against the
+        # broadcast place dim — only the parsed context coords ride here
         ctx_lat = F.when(after == "at",
                          tok(c["start"] + c["n"] + 1).try_cast("double"))
         ctx_lon = F.when(after == "at",
                          tok(c["start"] + c["n"] + 2).try_cast("double"))
-        d = haversine_km(ctx_lat, ctx_lon, c["cand_lat"], c["cand_lon"])
-        geo_conf = F.when(ctx_lat.isNotNull() & ctx_lon.isNotNull()
-                          & (d <= GEO_CTX_RADIUS_KM),
-                          1.0 - d / GEO_CTX_RADIUS_KM)
         # an occurrence that IS an admin context of a preceding mention is
         # context, not a mention — drop all its candidates
         is_ctx_occ = F.exists(
@@ -159,13 +171,8 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
             F.concat_ws(" ", F.slice(toks, c["start"] + 1, c["n"]))
             .alias("mention_text"),
             c["geoname_id"].alias("geoname_id"),
-            c["population"].alias("population"),
-            F.when(admin_hit, F.lit("administrative"))
-            .when(geo_conf.isNotNull(), F.lit("geographic"))
-            .otherwise(F.lit("exact")).alias("strategy"),
-            F.round(F.when(admin_hit, F.lit(0.95))
-                    .when(geo_conf.isNotNull(), geo_conf)
-                    .otherwise(F.lit(0.7)), 4).alias("confidence"),
+            admin_hit.alias("admin_hit"),
+            ctx_lat.alias("ctx_lat"), ctx_lon.alias("ctx_lon"),
             is_ctx_occ.alias("is_ctx_occ"))
 
     # context occurrences stay in the output flagged (is_ctx_occ): the
@@ -173,15 +180,46 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
     # or admin-name surfaces leak into lev-1 matching
     out = (base
            .select("doc_id", "span_offset",
-                   F.explode(F.transform(kept, scored)).alias("m")))
+                   F.explode(F.transform(kept, scored)).alias("m"))
+           .select(
+               "doc_id", "span_offset", F.col("m.start").alias("start"),
+               F.col("m.n").alias("n"),
+               F.col("m.mention_text").alias("mention_text"),
+               F.col("m.geoname_id").alias("geoname_id"),
+               F.col("m.admin_hit").alias("admin_hit"),
+               F.col("m.ctx_lat").alias("ctx_lat"),
+               F.col("m.ctx_lon").alias("ctx_lon"),
+               F.col("m.is_ctx_occ").alias("is_ctx_occ")))
+    # scoring attributes rejoin map-side from the place dim (same
+    # broadcastability class as the alias map itself)
+    is_hist = F.col("feature_code").isin(*HISTORICAL_FEATURE_CODES)
+    if "dissolved_date" in places.columns:
+        is_hist = is_hist | F.col("dissolved_date").isNotNull()
+    pl = places.select(
+        "geoname_id", "population",
+        F.col("latitude").alias("cand_lat"),
+        F.col("longitude").alias("cand_lon"),
+        is_hist.alias("is_hist"))
+    if broadcast_aliases:
+        pl = F.broadcast(pl)
+    out = out.join(pl, "geoname_id")
+    d = haversine_km(F.col("ctx_lat"), F.col("ctx_lon"),
+                     F.col("cand_lat"), F.col("cand_lon"))
+    geo_conf = F.when(F.col("ctx_lat").isNotNull()
+                      & F.col("ctx_lon").isNotNull()
+                      & (d <= GEO_CTX_RADIUS_KM),
+                      1.0 - d / GEO_CTX_RADIUS_KM)
     return out.select(
-        "doc_id", "span_offset", F.col("m.start").alias("start"),
-        F.col("m.n").alias("n"), F.col("m.mention_text").alias("mention_text"),
-        F.col("m.geoname_id").alias("geoname_id"),
-        F.col("m.strategy").alias("strategy"),
-        F.col("m.confidence").alias("confidence"),
-        F.col("m.population").alias("population"),
-        F.col("m.is_ctx_occ").alias("is_ctx_occ"))
+        "doc_id", "span_offset", "start", "n", "mention_text", "geoname_id",
+        F.when(F.col("admin_hit"), F.lit("administrative"))
+        .when(geo_conf.isNotNull(), F.lit("geographic"))
+        .when(F.col("is_hist"), F.lit("historical"))
+        .otherwise(F.lit("exact")).alias("strategy"),
+        F.round(F.when(F.col("admin_hit"), F.lit(0.95))
+                .when(geo_conf.isNotNull(), geo_conf)
+                .when(F.col("is_hist"), F.lit(HISTORICAL_CONFIDENCE))
+                .otherwise(F.lit(0.7)), 4).alias("confidence"),
+        "population", "is_ctx_occ")
 
 
 def fuzzy_candidates(grams: DataFrame, places: DataFrame,

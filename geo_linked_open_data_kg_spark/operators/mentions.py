@@ -169,8 +169,12 @@ def detect_mentions(documents: DataFrame, places: DataFrame,
     geoname_id ASC) — the reference's LIMIT 20 (reconcile.py:61-63).
 
     The whole operator is ONE shuffle: a broadcast alias join, then a
-    span-local groupBy where containment resolution AND the candidate cap
-    run as higher-order array expressions (no self-joins, no window).
+    span-local groupBy where containment resolution runs as higher-order
+    array expressions (no self-joins). Only (start, n, geoname_id) is
+    shuffled per hit — the surface string (the widest hit column) is
+    rebuilt from the span's tokens after the groupBy, and the candidate
+    cap is applied on the vocabulary-sized alias map (per-alias fan-out ==
+    per-occurrence candidate set), not the corpus-sized hit stream.
     """
     am = alias_map(places, with_population=cap is not None)
     if grams is None:
@@ -178,16 +182,23 @@ def detect_mentions(documents: DataFrame, places: DataFrame,
                                         alias_first_tokens(am))
     # alias lengths bound the useful gram universe — prune before the join
     grams = grams.where(F.length("gram_norm").between(2, 60))
+    if cap is not None:
+        from pyspark.sql import Window
+        w = (Window.partitionBy("alias_norm")
+             .orderBy(F.col("population").desc_nulls_last(),
+                      F.col("geoname_id").asc()))
+        am = (am.withColumn("cr", F.row_number().over(w))
+              .where(F.col("cr") <= cap).drop("cr", "population"))
     if broadcast_aliases:
         am = F.broadcast(am)
-    cand_cols = ["start", "n", "gram", "geoname_id"] + (
-        ["population"] if cap is not None else [])
+    cand_cols = ["start", "n", "geoname_id"]
     hits = (grams.join(am, grams.gram_norm == am.alias_norm, "inner")
             .select("doc_id", "span_offset", *cand_cols))
 
     per_span = (hits.groupBy("doc_id", "span_offset")
                 .agg(F.collect_set(F.struct("start", "n")).alias("occs"),
                      F.collect_list(F.struct(*cand_cols)).alias("cands")))
+    spans = text_spans(documents).select("doc_id", "span_offset", "tokens")
     kept = F.filter(
         F.col("cands"),
         lambda c: ~F.exists(
@@ -195,22 +206,14 @@ def detect_mentions(documents: DataFrame, places: DataFrame,
             lambda o: (o["start"] <= c["start"])
             & (o["start"] + o["n"] >= c["start"] + c["n"])
             & (o["n"] > c["n"])))
-    out = (per_span
-           .select("doc_id", "span_offset", F.explode(kept).alias("m"))
-           .select("doc_id", "span_offset",
-                   F.col("m.start").alias("start"),
-                   F.col("m.n").alias("n"),
-                   F.col("m.gram").alias("mention_text"),
-                   F.col("m.geoname_id").alias("geoname_id"),
-                   *([F.col("m.population").alias("population")]
-                     if cap is not None else [])))
-    if cap is not None:
-        # nested-lambda ranking re-evaluates the containment expression per
-        # element (cubic); a window over the exploded rows is cheaper
-        from pyspark.sql import Window
-        w = (Window.partitionBy("doc_id", "span_offset", "start", "n")
-             .orderBy(F.col("population").desc_nulls_last(),
-                      F.col("geoname_id").asc()))
-        out = (out.withColumn("cr", F.row_number().over(w))
-               .where(F.col("cr") <= cap).drop("cr", "population"))
-    return out
+    return (per_span.join(spans, ["doc_id", "span_offset"])
+            .select("doc_id", "span_offset", "tokens",
+                    F.explode(kept).alias("m"))
+            .select("doc_id", "span_offset",
+                    F.col("m.start").alias("start"),
+                    F.col("m.n").alias("n"),
+                    F.concat_ws(" ", F.slice(F.col("tokens"),
+                                             F.col("m.start") + 1,
+                                             F.col("m.n")))
+                    .alias("mention_text"),
+                    F.col("m.geoname_id").alias("geoname_id")))

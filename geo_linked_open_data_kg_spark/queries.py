@@ -271,13 +271,15 @@ WITH spans AS (
   SELECT al.alias_norm, al.geoname_id, p.population,
          p.latitude AS cand_lat, p.longitude AS cand_lon,
          p.country_code AS cand_cc, p.admin1_code AS cand_a1,
-         (p.feature_code = 'ADM1') AS is_adm1
+         (p.feature_code = 'ADM1') AS is_adm1,
+         (p.feature_code IN ('PPLH', 'PPLQ', 'PPLW')
+          OR p.dissolved_date IS NOT NULL) AS is_hist
   FROM aliases al
   JOIN read_parquet('{_sp("places")}') p USING (geoname_id)
 ), hits AS (
   SELECT g.doc_id, g.span_offset, g.start, g.n, g.gram, a.geoname_id,
          a.population, a.cand_lat, a.cand_lon, a.cand_cc, a.cand_a1,
-         a.is_adm1
+         a.is_adm1, a.is_hist
   FROM grams g JOIN attrs a ON lower(g.gram) = a.alias_norm
   WHERE length(g.gram) BETWEEN 2 AND 60
 ), capped AS (
@@ -333,9 +335,11 @@ WITH spans AS (
   SELECT doc_id, span_offset, start, n, gram AS mention_text, geoname_id,
          CASE WHEN admin_hit THEN 'administrative'
               WHEN geo_conf IS NOT NULL THEN 'geographic'
+              WHEN is_hist THEN 'historical'
               ELSE 'exact' END AS strategy,
          round(CAST(CASE WHEN admin_hit THEN 0.95
                          WHEN geo_conf IS NOT NULL THEN geo_conf
+                         WHEN is_hist THEN 0.9
                          ELSE 0.7 END AS DOUBLE), 4) AS confidence,
          population
   FROM scored1 WHERE NOT is_ctx_occ

@@ -90,3 +90,18 @@ def test_span_sequence_invariant(spark, data):
              .where(F.col("s.kind") == "media")
              .agg(F.count("*"), F.sum("s.offset")).collect()[0])
     assert tuple(m_in) == tuple(m_out)
+
+
+def test_historical_strategy_present_and_gated(data):
+    """reconcile.py:197-235,305-317: historical candidates (PPLH/PPLQ/PPLW
+    feature code or dissolved_date) link at confidence 0.9 under
+    strategy='historical'; non-historical candidates never do."""
+    _, places, _, linked = data
+    hist = linked.where(F.col("strategy") == "historical")
+    assert hist.count() > 0, "historical strategy is vacuous on fixtures"
+    assert hist.where(F.col("confidence") != 0.9).count() == 0
+    # every historical-linked candidate really is a historical place
+    not_hist_places = places.where(
+        ~F.col("feature_code").isin("PPLH", "PPLQ", "PPLW")
+        & F.col("dissolved_date").isNull())
+    assert hist.join(not_hist_places, "geoname_id", "left_semi").count() == 0
