@@ -387,6 +387,19 @@ def gen_orgs(rng: np.random.Generator, wd: dict, n: int) -> dict:
     return rows
 
 
+def augment_org_formation(orgs: dict, wd: dict) -> None:
+    """P740 formation location (ENTITY_LINKING_PLAN_UPDATED.md:187-198;
+    filter_wikidata_organizations.py:33-64 gates on P159 OR P740 OR
+    P131): ~40% of orgs record where they were founded, sometimes with
+    no headquarters. Fresh rng (SEED+10) keeps pre-existing columns
+    byte-identical."""
+    rng = np.random.default_rng(SEED + 10)
+    qids = wd["qid"]
+    orgs["formation_location_qid"] = [
+        qids[int(rng.integers(0, len(qids)))] if rng.random() < 0.4 else None
+        for _ in orgs["qid"]]
+
+
 def gen_post_offices(rng: np.random.Generator, places: dict, admin1_names: dict,
                      n: int) -> dict:
     """Conservative-matching source: unique (name, province) pairs must link,
@@ -563,6 +576,7 @@ def write_sf(out_dir: str, sf: str) -> None:
     # after every consumer of the main rng stream so existing columns stay
     # byte-identical across rounds
     augment_places_historical(places)
+    augment_org_formation(orgs, wd)
 
     pq.write_table(pa.table(places), f"{out_dir}/places.parquet")
     pq.write_table(pa.table(wd), f"{out_dir}/wikidata_places.parquet")

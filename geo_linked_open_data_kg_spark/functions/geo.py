@@ -81,36 +81,67 @@ def cell_id(lat: pd.Series, lon: pd.Series) -> pd.Series:
     return pd.Series(cell_ids_np(lat.to_numpy(float), lon.to_numpy(float)))
 
 
+def cover_cells_np(la: np.ndarray, lo: np.ndarray,
+                   radius_km: float) -> list[list[int]]:
+    """Cells intersecting the radius_km disc around each point — fully
+    vectorized: the only per-element Python is the final tolist() split.
+    The band dimension is a tiny loop (<= ceil(2*r_deg/BAND_DEG)+1
+    iterations per BATCH, not per point)."""
+    npts = len(la)
+    r_deg = radius_km / KM_PER_DEG_LAT
+    b0 = np.clip(np.floor((la - r_deg + 90.0) / BAND_DEG),
+                 0, N_BANDS - 1).astype(np.int64)
+    b1 = np.clip(np.floor((la + r_deg + 90.0) / BAND_DEG),
+                 0, N_BANDS - 1).astype(np.int64)
+    pidx_all, cells_all = [], []
+    max_off = int((b1 - b0).max()) if npts else -1
+    for k in range(max_off + 1):
+        mask = b0 + k <= b1
+        if not mask.any():
+            break
+        b = b0[mask] + k
+        plon = lo[mask]
+        n = _n_lon_cells(b)
+        lo_edge = b * BAND_DEG - 90.0
+        phi = np.minimum(np.maximum(np.abs(lo_edge),
+                                    np.abs(lo_edge + BAND_DEG)), 89.9)
+        dlon = np.minimum(180.0, radius_km / (
+            KM_PER_DEG_LAT * np.maximum(0.01, np.cos(np.radians(phi)))))
+        i0 = np.floor((plon - dlon + 180.0) / 360.0 * n).astype(np.int64)
+        i1 = np.floor((plon + dlon + 180.0) / 360.0 * n).astype(np.int64)
+        cnt = i1 - i0 + 1
+        full = cnt >= n
+        cnt = np.where(full, n, cnt)
+        i0 = np.where(full, 0, i0)
+        # flatten varying-length per-point ranges: arange minus repeated
+        # cumulative offsets == concat of [i0_j .. i0_j+cnt_j)
+        offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        idxs = np.arange(int(cnt.sum())) - offs + np.repeat(i0, cnt)
+        idxs = np.mod(idxs, np.repeat(n, cnt))
+        cells_all.append((np.repeat(b, cnt) << LON_BITS) | idxs)
+        pidx_all.append(np.repeat(np.nonzero(mask)[0], cnt))
+    if not pidx_all:
+        return [[] for _ in range(npts)]
+    pidx = np.concatenate(pidx_all)
+    cells = np.concatenate(cells_all)
+    order = np.argsort(pidx, kind="stable")
+    counts = np.bincount(pidx, minlength=npts)
+    return [a.tolist() for a in
+            np.split(cells[order], np.cumsum(counts)[:-1])]
+
+
 def make_cover_cells_udf(radius_km: float):
     """Cells intersecting the radius_km disc around each point (probe side).
 
-    Arrow-batched; per-point output is tiny (typically 2 bands x <=3 cells).
+    Arrow-batched AND numpy-vectorized inside the batch — no per-point
+    Python loop (the round-1/2 reviews flagged the scalar loop as the
+    slowest remaining Python on the 10^7-row probe side).
     """
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def cover_cells(lat: pd.Series, lon: pd.Series) -> pd.Series:
         la = lat.to_numpy(float)
         lo = np.mod(lon.to_numpy(float) + 180.0, 360.0) - 180.0
-        r_deg = radius_km / KM_PER_DEG_LAT
-        out = []
-        for plat, plon in zip(la, lo):
-            b0 = int(np.clip(np.floor((plat - r_deg + 90.0) / BAND_DEG), 0, N_BANDS - 1))
-            b1 = int(np.clip(np.floor((plat + r_deg + 90.0) / BAND_DEG), 0, N_BANDS - 1))
-            cells = []
-            for b in range(b0, b1 + 1):
-                lo_edge = b * BAND_DEG - 90.0
-                phi = min(max(abs(lo_edge), abs(lo_edge + BAND_DEG)), 89.9)
-                dlon = min(180.0, radius_km / (KM_PER_DEG_LAT * max(0.01, np.cos(np.radians(phi)))))
-                n = int(_n_lon_cells(np.array([b]))[0])
-                i0 = int(np.floor((plon - dlon + 180.0) / 360.0 * n))
-                i1 = int(np.floor((plon + dlon + 180.0) / 360.0 * n))
-                if i1 - i0 + 1 >= n:
-                    idxs = range(n)
-                else:
-                    idxs = [i % n for i in range(i0, i1 + 1)]
-                base = b << LON_BITS
-                cells.extend(base | i for i in idxs)
-            out.append(cells)
-        return pd.Series(out)
+        return pd.Series(cover_cells_np(la, lo, radius_km))
 
     return cover_cells

@@ -110,6 +110,66 @@ POP_WEIGHT_SQL = (
 )
 
 
+def hgis_distance_score(d: Column) -> Column:
+    """HGIS exponential-decay distance ladder
+    (link_hgis_to_lod.py:243-256) — distinct from the F3 ladder."""
+    return (
+        F.when(d <= 0.5, 1.0)
+        .when(d <= 2.0, 0.9)
+        .when(d <= 5.0, 0.75)
+        .when(d <= 10.0, 0.5)
+        .when(d <= 25.0, 0.3)
+        .otherwise(0.1)
+    )
+
+
+HGIS_DIST_SQL = (
+    "CASE WHEN {d} <= 0.5 THEN 1.0 WHEN {d} <= 2.0 THEN 0.9 "
+    "WHEN {d} <= 5.0 THEN 0.75 WHEN {d} <= 10.0 THEN 0.5 "
+    "WHEN {d} <= 25.0 THEN 0.3 ELSE 0.1 END"
+)
+
+
+def hgis_name_score(target: Column, cand: Column) -> Column:
+    """HGIS name component (link_hgis_to_lod.py:262-281): equality 1.0,
+    containment 0.8, else 0.5 * |overlap| / |target tokens| (target-side
+    denominator — unlike F2's max-side)."""
+    lt, lc = F.lower(F.trim(target)), F.lower(F.trim(cand))
+    tt, tc = _tokens(target), _tokens(cand)
+    overlap = F.size(F.array_intersect(tt, tc))
+    return (
+        F.when(lt == lc, F.lit(1.0))
+        .when(lt.contains(lc) | lc.contains(lt), F.lit(0.8))
+        .otherwise(0.5 * overlap.cast("double")
+                   / F.greatest(F.size(tt), F.lit(1)).cast("double"))
+    )
+
+
+HGIS_NAME_SQL = (
+    "CASE WHEN lower(trim({t})) = lower(trim({c})) THEN 1.0 "
+    "WHEN position(lower(trim({c})) IN lower(trim({t}))) > 0 "
+    "  OR position(lower(trim({t})) IN lower(trim({c}))) > 0 THEN 0.8 "
+    "ELSE 0.5 * len(list_intersect("
+    "  list_distinct(regexp_split_to_array(lower(trim({t})), ' +')), "
+    "  list_distinct(regexp_split_to_array(lower(trim({c})), ' +')))) "
+    " / greatest(len(list_distinct("
+    "  regexp_split_to_array(lower(trim({t})), ' +'))), 1) END"
+)
+
+
+def hgis_confidence(ds: Column, ts: Column, ns: Column,
+                    pw: Column) -> Column:
+    """4-factor HGIS score: 0.40 distance + 0.35 entity-type + 0.15 name
+    + 0.10 population boost, clamped (link_hgis_to_lod.py:283-307)."""
+    return F.least(F.lit(1.0),
+                   0.40 * ds + 0.35 * ts + 0.15 * ns + 0.10 * (pw - 1.0))
+
+
+HGIS_CONFIDENCE_SQL = (
+    "least(1.0, 0.40*{ds} + 0.35*{ts} + 0.15*{ns} + 0.10*({pw} - 1.0))"
+)
+
+
 def normalize_name(c: Column) -> Column:
     """Post-office name normalization F1 (load_post_offices.py:66-74)."""
     x = F.lower(F.trim(c))

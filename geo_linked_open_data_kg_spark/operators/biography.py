@@ -61,6 +61,13 @@ def headquartered_in(orgs: DataFrame, wd: DataFrame) -> DataFrame:
     return _fk_edges(orgs, wd, "headquarters_qid", "headquarteredIn")
 
 
+def founded_in(orgs: DataFrame, wd: DataFrame) -> DataFrame:
+    """FOUNDED edge from P740 formation location — planned alongside
+    HEADQUARTERED_IN (ENTITY_LINKING_PLAN_UPDATED.md:187-198; gate
+    includes P740 at filter_wikidata_organizations.py:33-64)."""
+    return _fk_edges(orgs, wd, "formation_location_qid", "foundedIn")
+
+
 def spouse_pairs(persons: DataFrame) -> DataFrame:
     """SPOUSE_OF with canonical-pair dedup: the reference builds
     tuple(sorted([a, b])) into a set so each marriage is emitted once

@@ -59,15 +59,29 @@ def ann_brute_topk(embeddings: DataFrame, n_queries: int = 10,
             .select("query_id", "neighbor_id", "cos", "rank"))
 
 
+def _collect_planes(hyperplanes: DataFrame) -> list:
+    """Collect the tiny plane dim ONCE per DataFrame instance (cache
+    rides the instance itself, so it can never outlive it): the
+    signature builders are invoked repeatedly (banded_signature,
+    ann_lsh_topk, embedding_near_dups) and an eager collect inside a
+    plan builder must not re-run per call (round-2 ADVICE)."""
+    cached = getattr(hyperplanes, "_lsh_planes_cache", None)
+    if cached is None:
+        cached = sorted((r["plane_id"], list(r["weights"]))
+                        for r in hyperplanes.collect())
+        hyperplanes._lsh_planes_cache = cached
+    return cached
+
+
 def lsh_signature(embeddings: DataFrame, hyperplanes: DataFrame) -> DataFrame:
     """(vec_id, bucket) — sign-bit string over the persisted hyperplanes.
 
     The plane dim is tiny and fixed-size (16 x 64 doubles), so it rides
     the plan as literal arrays: the signature is PURE map-side column
     math (zero joins, zero shuffles), unlike a crossJoin+groupBy shape
-    which costs one corpus shuffle per signature build."""
-    planes = sorted(
-        ((r["plane_id"], list(r["weights"])) for r in hyperplanes.collect()))
+    which costs one corpus shuffle per signature build. The collect is
+    memoized per hyperplane-DataFrame instance."""
+    planes = _collect_planes(hyperplanes)
     emb_d = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     bits = [

@@ -33,7 +33,11 @@ from geo_linked_open_data_kg_spark.functions.scoring import (
     classify_edge,
     confidence,
     distance_score,
+    hgis_confidence,
+    hgis_distance_score,
+    hgis_name_score,
     name_similarity,
+    population_weight,
 )
 
 
@@ -135,6 +139,74 @@ def spatial_links(wd: DataFrame, places: DataFrame,
         F.round(F.col("distance_km"), 4).alias("distance_km"),
         F.lit("spatial_proximity").alias("evidence"),
         F.col("rank"))
+
+
+def hgis_links(points: DataFrame, places: DataFrame,
+               feature_priority: DataFrame, radius_km: float = 25.0,
+               k: int = 5, min_confidence: float = 0.6,
+               min_entity_score: int = 40) -> DataFrame:
+    """HGIS-style 4-factor point linking (link_hgis_to_lod.py:231-330):
+    candidates within radius, POIs/buildings filtered by entity-type
+    priority (< min_entity_score — the Toronto-vs-CN-Tower guard), then
+    0.40 distance + 0.35 type + 0.15 name + 0.10 population-boost,
+    top-k per point above min_confidence.
+
+    `points` columns: (point_id, name, latitude, longitude). Same
+    cell-bucketed join shape as spatial_links — one shuffle on cell id,
+    broadcast priority dim, window top-k.
+    Output: (subj, pred='hgisMatch', obj, confidence, distance_km, rank).
+    """
+    cover = make_cover_cells_udf(radius_km)
+    probe = (points
+             .select("point_id", F.col("name").alias("hg_name"),
+                     F.col("latitude").alias("hg_lat"),
+                     F.col("longitude").alias("hg_lon"))
+             .withColumn("cell", F.explode(cover("hg_lat", "hg_lon"))))
+    build = (places
+             .select("geoname_id", F.col("name").alias("gn_name"),
+                     F.col("latitude").alias("gn_lat"),
+                     F.col("longitude").alias("gn_lon"),
+                     "feature_code", "feature_class", "population")
+             .withColumn("cell", cell_id("gn_lat", "gn_lon")))
+    # entity score: priority dim, else the feature-class fallback ladder
+    # (link_hgis_to_lod.py:120-144)
+    class_fallback = (F.when(F.col("feature_class") == "P", 50)
+                      .when(F.col("feature_class") == "A", 60)
+                      .when(F.col("feature_class") == "L", 55)
+                      .otherwise(30))
+    pairs = (probe.join(build, "cell")
+             .withColumn("distance_km",
+                         haversine_km(F.col("hg_lat"), F.col("hg_lon"),
+                                      F.col("gn_lat"), F.col("gn_lon")))
+             .where(F.col("distance_km") <= radius_km)
+             .join(F.broadcast(feature_priority.withColumnRenamed(
+                 "priority", "fp")), "feature_code", "left")
+             .withColumn("entity_score",
+                         F.coalesce(F.col("fp"), class_fallback)
+                         .cast("long"))
+             .where(F.col("entity_score") >= min_entity_score))
+    conf = hgis_confidence(
+        hgis_distance_score(F.col("distance_km")),
+        F.col("entity_score").cast("double") / 100.0,
+        hgis_name_score(F.col("hg_name"), F.col("gn_name")),
+        population_weight(F.col("population")))
+    # the 4-factor sum of 2dp weights lands EXACTLY on .00005 rounding
+    # boundaries, where last-ulp noise differs across engines; rank,
+    # threshold and display all use the same epsilon-shifted 4dp rounding
+    # so ties and boundaries resolve identically everywhere
+    scored = pairs.withColumn("conf", F.round(conf + 1e-9, 4))
+    w = (Window.partitionBy("point_id")
+         .orderBy(F.col("conf").desc(), F.col("distance_km").asc(),
+                  F.col("geoname_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where((F.col("rank") <= k)
+                   & (F.col("conf") >= min_confidence))
+            .select(F.col("point_id").alias("subj"),
+                    F.lit("hgisMatch").alias("pred"),
+                    F.concat(F.lit("gn:"), F.col("geoname_id")).alias("obj"),
+                    F.col("conf").alias("confidence"),
+                    F.round(F.col("distance_km"), 4).alias("distance_km"),
+                    F.col("rank")))
 
 
 def promote_near_to_same_as(links: DataFrame) -> DataFrame:

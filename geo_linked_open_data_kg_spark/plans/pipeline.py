@@ -23,6 +23,7 @@ from geo_linked_open_data_kg_spark.operators import (
     biography,
     direct_link,
     linking,
+    postal,
     spatial,
 )
 from geo_linked_open_data_kg_spark.operators.canonicalize import (
@@ -45,6 +46,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     places = load(spark, sf_dir, "places")
     wd = load(spark, sf_dir, "wikidata_places")
     persons = load(spark, sf_dir, "persons")
+    orgs = load(spark, sf_dir, "organizations")
+    post_offices = load(spark, sf_dir, "post_offices")
+    a1 = (load(spark, sf_dir, "admin1_names")
+          .where(F.col("country_code") == "AA"))
     docs = (load(spark, sf_dir, "geo_documents")
             .repartition(n_part, F.hash("doc_id")))
     fprio = load(spark, sf_dir, "feature_priority")
@@ -58,22 +63,33 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         spark, "mention_triples",
         lambda: linking.mention_triples(linked), force=force)
 
+    def _gaz():
+        # every edge family the reference loads (load_post_offices.py:146,
+        # load_wikidata_entities.py:195, ENTITY_LINKING_PLAN_UPDATED.md:
+        # 106-221) — all rewritten through canonicalization downstream
+        fams = [
+            direct_link.direct_id_links(wd, places),
+            admin.admin_triples(places),
+            spatial.promote_near_to_same_as(
+                spatial.spatial_links(wd, places, fprio, wprio)),
+            biography.born_in(persons, wd),
+            biography.died_in(persons, wd),
+            biography.resided_in(persons, wd),
+            biography.worked_at(persons, wd),
+            biography.citizen_of(persons, wd),
+            biography.spouse_pairs(persons),
+            biography.parent_of(persons),
+            biography.headquartered_in(orgs, wd),
+            biography.founded_in(orgs, wd),
+            postal.post_office_links(post_offices, places, a1),
+        ]
+        out = fams[0].select(*TRIPLE_COLS)
+        for f in fams[1:]:
+            out = out.unionByName(f.select(*TRIPLE_COLS))
+        return out
+
     gaz_triples = ckpt.get_or_compute(
-        spark, "gazetteer_triples",
-        lambda: (direct_link.direct_id_links(wd, places)
-                 .select(*TRIPLE_COLS)
-                 .unionByName(admin.admin_triples(places).select(*TRIPLE_COLS))
-                 .unionByName(
-                     spatial.promote_near_to_same_as(
-                         spatial.spatial_links(wd, places, fprio, wprio))
-                     .select(*TRIPLE_COLS))
-                 .unionByName(
-                     biography.born_in(persons, wd).select(*TRIPLE_COLS))
-                 .unionByName(
-                     biography.died_in(persons, wd).select(*TRIPLE_COLS))
-                 .unionByName(
-                     biography.resided_in(persons, wd).select(*TRIPLE_COLS))),
-        force=force)
+        spark, "gazetteer_triples", _gaz, force=force)
 
     canon = ckpt.get_or_compute(
         spark, "canonical_triples",
@@ -84,7 +100,8 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         force=force)
 
     nodes = ckpt.get_or_compute(
-        spark, "nodes", lambda: build_nodes(places, wd, persons),
+        spark, "nodes",
+        lambda: build_nodes(places, wd, persons, orgs, post_offices),
         partition_by=["label"], force=force)
 
     edges = ckpt.get_or_compute(
@@ -95,11 +112,15 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
             "nodes": nodes, "edges": edges}
 
 
-def build_nodes(places: DataFrame, wd: DataFrame,
-                persons: DataFrame) -> DataFrame:
+def build_nodes(places: DataFrame, wd: DataFrame, persons: DataFrame,
+                orgs: DataFrame | None = None,
+                post_offices: DataFrame | None = None) -> DataFrame:
     """Materialized node table: (id, label, name, latitude, longitude,
     country_code, cell_id) — the Neo4j labels become a partition column
-    (SURVEY.md §1.1)."""
+    (SURVEY.md §1.1). All reference node families: Place, WikidataPlace,
+    Person, Organization (load_wikidata_entities.py:195), PostOffice
+    (load_post_offices.py:146)."""
+    nolat = F.lit(None).cast("double")
     p = places.select(
         F.concat(F.lit("gn:"), F.col("geoname_id")).alias("id"),
         F.lit("Place").alias("label"), "name", "latitude", "longitude",
@@ -110,10 +131,20 @@ def build_nodes(places: DataFrame, wd: DataFrame,
         F.col("country_qid").alias("country_code"))
     pe = persons.select(
         F.col("qid").alias("id"), F.lit("Person").alias("label"), "name",
-        F.lit(None).cast("double").alias("latitude"),
-        F.lit(None).cast("double").alias("longitude"),
+        nolat.alias("latitude"), nolat.alias("longitude"),
         F.col("citizenship_qid").alias("country_code"))
     out = p.unionByName(w).unionByName(pe)
+    if orgs is not None:
+        out = out.unionByName(orgs.select(
+            F.col("qid").alias("id"), F.lit("Organization").alias("label"),
+            "name", nolat.alias("latitude"), nolat.alias("longitude"),
+            F.lit(None).cast("string").alias("country_code")))
+    if post_offices is not None:
+        out = out.unionByName(post_offices.select(
+            F.concat(F.lit("po:"), F.col("id_number")).alias("id"),
+            F.lit("PostOffice").alias("label"), "name",
+            nolat.alias("latitude"), nolat.alias("longitude"),
+            F.lit(None).cast("string").alias("country_code")))
     return out.withColumn(
         "cell_id",
         F.when(F.col("latitude").isNotNull(),

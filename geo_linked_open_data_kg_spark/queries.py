@@ -23,7 +23,11 @@ from geo_linked_open_data_kg_spark.functions.scoring import (
     CLASSIFY_SQL,
     CONFIDENCE_SQL,
     DIST_SCORE_SQL,
+    HGIS_CONFIDENCE_SQL,
+    HGIS_DIST_SQL,
+    HGIS_NAME_SQL,
     NAME_SIM_SQL,
+    POP_WEIGHT_SQL,
 )
 from geo_linked_open_data_kg_spark.operators import admin, direct_link, spatial
 from geo_linked_open_data_kg_spark.sources.registry import load, synth_path
@@ -525,6 +529,22 @@ def kg_headquartered_in(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       load(spark, sf_dir, "wikidata_places"))
 
 
+@register("kg_founded", f"""
+SELECT o.qid AS subj, 'foundedIn' AS pred,
+       o.formation_location_qid AS obj,
+       CAST(1.0 AS DOUBLE) AS confidence, 'wikidata_claim' AS evidence
+FROM read_parquet('{_sp("organizations")}') o
+JOIN read_parquet('{_sp("wikidata_places")}') w
+  ON o.formation_location_qid = w.qid
+WHERE o.formation_location_qid IS NOT NULL
+""")
+def kg_founded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUNDED edge from P740 (ENTITY_LINKING_PLAN_UPDATED.md:187-198)."""
+    from geo_linked_open_data_kg_spark.operators import biography
+    return biography.founded_in(load(spark, sf_dir, "organizations"),
+                                load(spark, sf_dir, "wikidata_places"))
+
+
 @register("kg_dangling_fk_counts", f"""
 SELECT 'birth_place_qid' AS fk, count(*) AS n_dangling
 FROM read_parquet('{_sp("persons")}') p
@@ -873,6 +893,55 @@ def kg_name_radius_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("distance_km"), 4).alias("distance_km")))
 
 
+_HG_D = HAVERSINE_SQL_DUCKDB.format(lat1="w.latitude", lon1="w.longitude",
+                                    lat2="g.latitude", lon2="g.longitude")
+_HG_CONF = HGIS_CONFIDENCE_SQL.format(
+    ds=HGIS_DIST_SQL.format(d="distance_km"),
+    ts="(CAST(entity_score AS DOUBLE) / 100.0)",
+    ns="(" + HGIS_NAME_SQL.format(t="hg_name", c="gn_name") + ")",
+    pw="(" + POP_WEIGHT_SQL.format(p="population") + ")")
+
+
+@register("kg_hgis_links", f"""
+WITH pairs AS (
+  SELECT w.qid AS point_id, w.name AS hg_name, g.geoname_id,
+         g.name AS gn_name, g.population,
+         {_HG_D} AS distance_km,
+         CAST(COALESCE(fp.priority,
+              CASE WHEN g.feature_class = 'P' THEN 50
+                   WHEN g.feature_class = 'A' THEN 60
+                   WHEN g.feature_class = 'L' THEN 55
+                   ELSE 30 END) AS BIGINT) AS entity_score
+  FROM read_parquet('{_sp("wikidata_places")}') w
+  JOIN read_parquet('{_sp("places")}') g ON {_HG_D} <= 25.0
+  LEFT JOIN read_parquet('{_sp("feature_priority")}') fp
+    ON g.feature_code = fp.feature_code
+), gated AS (
+  SELECT * FROM pairs WHERE entity_score >= 40
+), scored AS (
+  -- epsilon-shifted 4dp rounding: the 4-factor sum of 2dp weights hits
+  -- exact .00005 boundaries where engine ulp noise flips round()/order
+  SELECT *, round(CAST({_HG_CONF} AS DOUBLE) + 0.000000001, 4) AS conf
+  FROM gated
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY point_id
+      ORDER BY conf DESC, distance_km ASC, geoname_id ASC) AS rank
+  FROM scored
+)
+SELECT point_id AS subj, 'hgisMatch' AS pred, 'gn:' || geoname_id AS obj,
+       conf AS confidence, round(distance_km, 4) AS distance_km,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5 AND conf >= 0.6
+""")
+def kg_hgis_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HGIS 4-factor linking (F6 population weight on an oracle path;
+    link_hgis_to_lod.py:231-330), points = the wikidata place table."""
+    points = load(spark, sf_dir, "wikidata_places").select(
+        F.col("qid").alias("point_id"), "name", "latitude", "longitude")
+    return spatial.hgis_links(points, load(spark, sf_dir, "places"),
+                              load(spark, sf_dir, "feature_priority"))
+
+
 @register("kg_promoted_links", _SPATIAL_ORACLE.replace(
     "SELECT qid AS subj,\n       " + CLASSIFY_SQL.format(
         conf="conf", d="distance_km", sp="wd_priority", dp="gn_priority"),
@@ -981,14 +1050,25 @@ UNION ALL
 SELECT qid, 'Person', name, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        citizenship_qid
 FROM read_parquet('{_sp("persons")}')
+UNION ALL
+SELECT qid, 'Organization', name, CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM read_parquet('{_sp("organizations")}')
+UNION ALL
+SELECT 'po:' || id_number, 'PostOffice', name, CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM read_parquet('{_sp("post_offices")}')
 """)
 def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1/K4: the materialized node table (cell_id column excluded here —
-    it is pandas-UDF-derived; the driver compare covers the projection)."""
+    """K1/K4: the materialized node table, ALL label families (cell_id
+    column excluded here — it is pandas-UDF-derived; the driver compare
+    covers the projection)."""
     from geo_linked_open_data_kg_spark.plans.pipeline import build_nodes
     return build_nodes(load(spark, sf_dir, "places"),
                        load(spark, sf_dir, "wikidata_places"),
-                       load(spark, sf_dir, "persons")).drop("cell_id")
+                       load(spark, sf_dir, "persons"),
+                       load(spark, sf_dir, "organizations"),
+                       load(spark, sf_dir, "post_offices")).drop("cell_id")
 
 
 # ----------------------------------------- training-data pipeline ops ------

@@ -24,14 +24,29 @@ from pyspark.sql import functions as F
 ENVELOPE = "_envelope.json"
 
 
+def _write_envelope(spark: SparkSession, path: str, payload: dict) -> None:
+    """Write the tiny driver-side envelope through the Hadoop FS API so
+    the sink works on whatever filesystem the data path names (HDFS, S3A,
+    file:) — a local open() next to a distributed write breaks on any
+    non-local scheme (round-2 ADVICE)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, ENVELOPE))
+    fs = p.getFileSystem(jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
 def write_ndjson_gz(df: DataFrame, path: str,
                     metadata: dict | None = None) -> None:
     """K2: gzip NDJSON sink. One line per row, nested columns as nested
     JSON objects; `metadata` lands in <path>/_envelope.json."""
     df.write.mode("overwrite").json(path, compression="gzip")
     if metadata is not None:
-        with open(os.path.join(path, ENVELOPE), "w") as f:
-            json.dump(metadata, f)
+        _write_envelope(df.sparkSession, path, metadata)
 
 
 def read_ndjson(spark: SparkSession, path: str, schema=None) -> DataFrame:
@@ -51,13 +66,16 @@ def write_json_documents(df: DataFrame, path: str,
     one giant {metadata, persons:[...]} file from memory — unwritable at
     corpus scale — so the rows stream through the distributed writer and
     the envelope carries the stats (row count + per-column null counts),
-    computed as ONE aggregation. Returns the envelope dict."""
+    computed as ONE aggregation OVER THE WRITTEN FILES (so stats always
+    describe the exported rows, even for non-deterministic inputs, and
+    the input is not recomputed twice). Returns the envelope dict."""
     df.write.mode("overwrite").json(path, compression="gzip")
+    spark = df.sparkSession
+    written = read_ndjson(spark, path, schema=df.schema)
     aggs = [F.count("*").alias("n_rows")] + [
         F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
         .alias(f"n_null_{c}") for c in df.columns]
-    stats = df.agg(*aggs).collect()[0].asDict()
+    stats = written.agg(*aggs).collect()[0].asDict()
     envelope = {"metadata": metadata or {}, "stats": stats}
-    with open(os.path.join(path, ENVELOPE), "w") as f:
-        json.dump(envelope, f)
+    _write_envelope(spark, path, envelope)
     return envelope

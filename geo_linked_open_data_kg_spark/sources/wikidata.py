@@ -204,6 +204,7 @@ def org_gate(parsed: DataFrame) -> DataFrame:
             .select(F.col("e.id").alias("qid"),
                     F.col("e.labels")["en"]["value"].alias("name"),
                     _claim_item("P159").alias("headquarters_qid"),
+                    _claim_item("P740").alias("formation_location_qid"),
                     _claim_time("P571").alias("inception_date")))
 
 

@@ -138,3 +138,31 @@ def test_rewrite_drops_self_loops_keeps_sameas(spark):
     assert ("gn:1", "nearTo", "gn:1") not in preds
     assert ("gn:1", "sameAs", "gn:1") in preds
     assert ("gn:1", "nearTo", "gn:2") in preds
+
+
+def test_hgis_toronto_cn_tower_4factor(spark):
+    """Port of the reference's embedded behavioral test
+    (link_hgis_to_lod.py:381-424): a 1921-census 'Toronto' point sitting
+    closer to the CN Tower than to the city centroid must match the city
+    via the 4-factor score; the tower never appears (entity gate < 40)."""
+    from geo_linked_open_data_kg_spark.operators.spatial import hgis_links
+    places = _places(spark, [
+        dict(PLACE_BASE, geoname_id=1, name="Toronto", latitude=43.6534,
+             longitude=-79.3841, feature_class="P", feature_code="PPL",
+             country_code="CA", admin1_code="08", population=2731571),
+        dict(PLACE_BASE, geoname_id=2, name="CN Tower", latitude=43.6426,
+             longitude=-79.3871, feature_class="S", feature_code="TOWR",
+             country_code="CA", admin1_code="08", population=0),
+    ])
+    # historical coordinates right next to the tower
+    points = spark.createDataFrame([Row(
+        point_id="hgis:toronto-1921", name="Toronto",
+        latitude=43.6430, longitude=-79.3870)])
+    fprio = spark.createDataFrame([Row(feature_code="PPL", priority=80),
+                                   Row(feature_code="TOWR", priority=20)])
+    links = hgis_links(points, places, fprio, radius_km=10.0).collect()
+    assert links, "city must match"
+    best = min(links, key=lambda r: r["rank"])
+    assert best["obj"] == "gn:1", f"city must outrank tower: {links}"
+    assert all(r["obj"] != "gn:2" for r in links), \
+        "POI must be excluded by the entity-type gate"

@@ -28,8 +28,14 @@ def test_pipeline_end_to_end(spark, out_dir):
     canon = res["canonical_triples"]
     assert canon.count() > 0
     preds = {r["pred"] for r in canon.select("pred").distinct().collect()}
-    assert {"sameAs", "nearTo", "partOf", "mentions",
-            "locatedInCountry"} <= preds
+    # every materialized edge family (VERDICT r2 item 3 + FOUNDED item 4)
+    assert {"sameAs", "nearTo", "partOf", "mentions", "locatedInCountry",
+            "bornIn", "diedIn", "residedIn", "workedAt", "citizenOf",
+            "spouseOf", "parentOf", "headquarteredIn", "foundedIn"} <= preds
+    labels = {r["label"] for r in
+              res["nodes"].select("label").distinct().collect()}
+    assert {"Place", "WikidataPlace", "Person", "Organization",
+            "PostOffice"} == labels
     # canonical rewrite: no non-sameAs self loops
     assert canon.where((F.col("pred") != "sameAs")
                        & (F.col("subj") == F.col("obj"))).count() == 0
