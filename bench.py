@@ -27,7 +27,11 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     synth_dir_for(sf_dir)  # ensure fixtures exist before timing
 
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    # cores*8 shuffle partitions: measured 31% cut on the cascade in the
+    # round-2 scaling work (smaller per-partition spill footprint); same
+    # setting as scripts/scaling_bench.py so single-level and scaling
+    # numbers share a config
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus * 8)
     spark.sparkContext.setLogLevel("ERROR")
 
     from geo_linked_open_data_kg_spark import queries as q

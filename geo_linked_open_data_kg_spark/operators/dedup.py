@@ -44,6 +44,7 @@ N_BANDS = 4  # 3 rows per band
 SIMHASH_BITS = 60        # 4 bands x 15 bits, fits signed 64-bit on both engines
 SIMHASH_BANDS = 4
 JACCARD_DF_CAP = 20      # shingles in more docs than this don't block
+FB_BUCKET_CAP = 50       # fallback block key bucket bound (audited)
 
 
 def norm_text(c: Column) -> Column:
@@ -153,20 +154,51 @@ def hot_shingles(documents: DataFrame,
             .where(F.col("df") > df_cap))
 
 
+def _jaccard_blocking(documents: DataFrame,
+                      df_cap: int = JACCARD_DF_CAP,
+                      fb_cap: int = FB_BUCKET_CAP) -> DataFrame:
+    """(doc_id, shingle) blocking pairs for jaccard candidate generation:
+    every rare shingle (df <= df_cap), PLUS — for docs whose ENTIRE
+    shingle set is hot (a >df_cap-sized template/boilerplate cluster,
+    which rare-only blocking would silently drop, round-2 ADVICE) — the
+    doc's single lowest-df shingle as a fallback block key. The fallback
+    stream is per-doc-single-row and its buckets are capped at fb_cap
+    (audited by dedup_cap_metrics), so it can never go quadratic. The
+    hot dim (<= n_slots/df_cap rows) stays broadcastable."""
+    from pyspark.sql import Window
+    sh = shingles(documents)
+    hot = hot_shingles(documents, df_cap)  # (shingle, df)
+    rare = sh.join(F.broadcast(hot.select("shingle")), "shingle",
+                   "left_anti")
+    hot_only = (sh.select("doc_id").distinct()
+                .join(rare.select("doc_id").distinct(), "doc_id",
+                      "left_anti"))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("df").asc(), F.col("shingle").asc()))
+    fb = (sh.join(F.broadcast(hot), "shingle")
+          .join(hot_only, "doc_id", "left_semi")
+          .withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") == 1))
+    bw = Window.partitionBy("shingle").orderBy("doc_id")
+    fbc = (fb.withColumn("bn", F.row_number().over(bw))
+           .where(F.col("bn") <= fb_cap))
+    return (rare.select("doc_id", "shingle")
+            .unionByName(fbc.select("doc_id", "shingle")))
+
+
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.8,
                         df_cap: int = JACCARD_DF_CAP) -> DataFrame:
     """Blocked exact n-gram Jaccard: candidate pairs must share >=1 RARE
     shingle (document frequency <= df_cap), then exact verify. Blocking
     on every shared shingle is quadratic in hot-shingle frequency at
     corpus scale; any J>=0.8 pair shares mostly-rare shingles too, so
-    rare-only blocking keeps recall while bounding the block size. The
-    number of excluded hot shingles is reported by dedup_cap_metrics
-    (no silent caps)."""
-    sh = shingles(documents)
-    rare = sh.join(F.broadcast(hot_shingles(documents, df_cap)
-                               .select("shingle")), "shingle", "left_anti")
-    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    rare-only blocking keeps recall while bounding the block size.
+    Hot-ONLY docs (template clusters) block via a capped per-doc
+    fallback key instead of silently dropping (_jaccard_blocking).
+    Every cap is reported by dedup_cap_metrics (no silent caps)."""
+    block = _jaccard_blocking(documents, df_cap)
+    a = block.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = block.select(F.col("doc_id").alias("doc_b"), "shingle")
     cand = (a.join(b, "shingle")
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
@@ -271,11 +303,14 @@ def embedding_near_dups(embeddings: DataFrame, hyperplanes: DataFrame,
 
 def dedup_cap_metrics(documents: DataFrame, n_hashes: int = N_MINHASH,
                       n_bands: int = N_BANDS, max_bucket: int = 50,
-                      df_cap: int = JACCARD_DF_CAP) -> DataFrame:
+                      df_cap: int = JACCARD_DF_CAP,
+                      fb_cap: int = FB_BUCKET_CAP) -> DataFrame:
     """Audit of every recall-bounding cap in this module (no silent
     caps): minhash-LSH buckets that hit max_bucket (and how many doc
-    slots the cap dropped), and hot shingles excluded from jaccard
-    blocking. Output: (metric, value)."""
+    slots the cap dropped), hot shingles excluded from jaccard blocking,
+    hot-ONLY docs (the actual recall-loss unit — rescued via the
+    fallback block key), and fallback docs dropped by the bucket cap.
+    Output: (metric, value)."""
     rows = n_hashes // n_bands
     sig = minhash_signatures(documents, n_hashes)
     bands = []
@@ -296,9 +331,28 @@ def dedup_cap_metrics(documents: DataFrame, n_hashes: int = N_MINHASH,
               .otherwise(0)).alias("minhash_dropped_doc_slots"))
     hot = hot_shingles(documents, df_cap).agg(
         F.count("*").alias("jaccard_hot_shingles_excluded"))
-    m = mh.crossJoin(hot)
+    from pyspark.sql import Window
+    sh = shingles(documents)
+    hotdf = hot_shingles(documents, df_cap)
+    rare_docs = (sh.join(F.broadcast(hotdf.select("shingle")), "shingle",
+                         "left_anti").select("doc_id").distinct())
+    hot_only = (sh.select("doc_id").distinct()
+                .join(rare_docs, "doc_id", "left_anti"))
+    fbw = (Window.partitionBy("doc_id")
+           .orderBy(F.col("df").asc(), F.col("shingle").asc()))
+    fb = (sh.join(F.broadcast(hotdf), "shingle")
+          .join(hot_only, "doc_id", "left_semi")
+          .withColumn("rn", F.row_number().over(fbw))
+          .where(F.col("rn") == 1))
+    bw = Window.partitionBy("shingle").orderBy("doc_id")
+    fb_dropped = (fb.withColumn("bn", F.row_number().over(bw))
+                  .agg(F.sum(F.when(F.col("bn") > fb_cap, 1).otherwise(0))
+                       .alias("jaccard_fallback_dropped_docs")))
+    ho = hot_only.agg(F.count("*").alias("jaccard_hot_only_docs"))
+    m = mh.crossJoin(hot).crossJoin(ho).crossJoin(fb_dropped)
     cols = ["minhash_capped_buckets", "minhash_dropped_doc_slots",
-            "jaccard_hot_shingles_excluded"]
+            "jaccard_hot_shingles_excluded", "jaccard_hot_only_docs",
+            "jaccard_fallback_dropped_docs"]
     out = None
     for c in cols:
         one = m.select(F.lit(c).alias("metric"),

@@ -40,17 +40,31 @@ HISTORICAL_CONFIDENCE = 0.9
 
 
 def corpus_stop_surfaces(grams: DataFrame, n_docs: int,
-                         max_doc_ratio: float = STOP_DOC_RATIO) -> DataFrame:
+                         max_doc_ratio: float = STOP_DOC_RATIO,
+                         exempt_alias_norms: DataFrame | None = None
+                         ) -> DataFrame:
     """Capitalized surfaces appearing in more than max_doc_ratio of all
     documents are function language (sentence-leading words, boilerplate
     phrases), not toponyms — a toponym that common would dominate the
     corpus. Derived per corpus instead of hardcoding fixture vocabulary;
-    output is vocabulary-sized and broadcastable at any corpus size."""
-    return (grams.where(F.col("gram").rlike("^[A-Z][a-z]"))
+    output is vocabulary-sized and broadcastable at any corpus size.
+
+    Surfaces that exactly match a gazetteer alias are EXEMPT when
+    `exempt_alias_norms` (one column, alias_norm) is given: in a
+    regionally-focused corpus the dominant real toponym easily exceeds
+    the ratio, and stopping it would bar its whole lev-1 misspelling
+    neighbourhood from the fuzzy path (round-2 ADVICE)."""
+    stop = (grams.where(F.col("gram").rlike("^[A-Z][a-z]"))
             .groupBy("gram")
             .agg(F.countDistinct("doc_id").alias("df"))
             .where(F.col("df") > max_doc_ratio * n_docs)
             .select("gram"))
+    if exempt_alias_norms is not None:
+        stop = (stop.withColumn("g_l", F.lower(F.col("gram")))
+                .join(F.broadcast(exempt_alias_norms),
+                      F.col("g_l") == F.col("alias_norm"), "left_anti")
+                .drop("g_l"))
+    return stop
 
 
 def scored_exact_candidates(documents: DataFrame, places: DataFrame,
@@ -335,7 +349,12 @@ def link_mentions(documents: DataFrame, places: DataFrame,
         # re-running the posexplode per DAG branch
         grams = (capitalized_ngram_candidates(text_spans(documents))
                  .localCheckpoint(eager=False))
-        stop = corpus_stop_surfaces(grams, documents.count())
+        # exemption dim built WITHOUT the distinct: anti-join keys may
+        # repeat, and skipping the dedup keeps this branch exchange-free
+        stop = corpus_stop_surfaces(
+            grams, documents.count(),
+            exempt_alias_norms=alias_map(places, dedup=False)
+            .select("alias_norm"))
         fz = (fuzzy_candidates(grams, places, exact_all.select(*OCC_KEYS),
                                stop_surfaces=stop)
               .join(F.broadcast(places.select("geoname_id", "population")),

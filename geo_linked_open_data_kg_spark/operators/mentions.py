@@ -28,9 +28,12 @@ from pyspark.sql import functions as F
 MAX_NGRAM = 4
 
 
-def alias_map(places: DataFrame, with_population: bool = False) -> DataFrame:
+def alias_map(places: DataFrame, with_population: bool = False,
+              dedup: bool = True) -> DataFrame:
     """(alias_norm, geoname_id[, population]) — exploded, deduped. The
-    broadcast alias hash map of the north star."""
+    broadcast alias hash map of the north star. `dedup=False` skips the
+    distinct (and its exchange) for consumers that tolerate duplicate
+    keys, e.g. semi/anti-join dims."""
     extra = ["population"] if with_population else []
     aliases = places.select(
         "geoname_id", *extra,
@@ -40,11 +43,11 @@ def alias_map(places: DataFrame, with_population: bool = False) -> DataFrame:
                 F.coalesce(F.col("alternate_names"),
                            F.array().cast("array<string>")),
             )).alias("alias"))
-    return (aliases
-            .where(F.col("alias").isNotNull() & (F.trim(F.col("alias")) != ""))
-            .select(F.lower(F.trim(F.col("alias"))).alias("alias_norm"),
-                    "geoname_id", *extra)
-            .distinct())
+    out = (aliases
+           .where(F.col("alias").isNotNull() & (F.trim(F.col("alias")) != ""))
+           .select(F.lower(F.trim(F.col("alias"))).alias("alias_norm"),
+                   "geoname_id", *extra))
+    return out.distinct() if dedup else out
 
 
 def text_spans(documents: DataFrame) -> DataFrame:

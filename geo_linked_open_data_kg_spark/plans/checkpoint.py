@@ -33,9 +33,13 @@ class CheckpointStore:
         return spark.read.parquet(self.path(stage))
 
     def write(self, df: DataFrame, stage: str,
-              partition_by: list[str] | None = None) -> DataFrame:
+              partition_by: list[str] | None = None,
+              label: str | None = None) -> DataFrame:
         """Write stage output + lineage (per-partition row counts) +
-        metrics (total rows, and triple counts per pred if present)."""
+        metrics (total rows, and triple counts per pred if present).
+        `label` overrides the stage name recorded IN lineage/metrics rows
+        (used by merge_upsert's shadow write)."""
+        label = label or stage
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -46,16 +50,16 @@ class CheckpointStore:
 
         lineage = (out.groupBy(F.spark_partition_id().alias("partition_id"))
                    .agg(F.count("*").alias("n_rows"))
-                   .withColumn("stage", F.lit(stage)))
+                   .withColumn("stage", F.lit(label)))
         lineage.write.mode("overwrite").parquet(
             os.path.join(self.root, "_lineage", stage))
 
         metrics = out.agg(F.count("*").alias("value")).select(
-            F.lit(stage).alias("stage"), F.lit("n_rows").alias("metric"),
+            F.lit(label).alias("stage"), F.lit("n_rows").alias("metric"),
             F.col("value"))
         if "pred" in out.columns:
             per_pred = (out.groupBy("pred").agg(F.count("*").alias("value"))
-                        .select(F.lit(stage).alias("stage"),
+                        .select(F.lit(label).alias("stage"),
                                 F.concat(F.lit("n_triples:"),
                                          F.col("pred")).alias("metric"),
                                 F.col("value")))
@@ -70,3 +74,33 @@ class CheckpointStore:
         if not force and self.exists(stage):
             return self.read(spark, stage)
         return self.write(compute(), stage, partition_by)
+
+    def merge_upsert(self, df: DataFrame, stage: str, keys: list[str],
+                     partition_by: list[str] | None = None) -> DataFrame:
+        """Keyed MERGE-INTO semantics for incremental re-runs (SURVEY
+        §1.1 K1: the reference leans on Neo4j MERGE upserts; the
+        production target is Iceberg MERGE INTO): every existing row
+        whose key appears in `df` is replaced by the new rows for that
+        key, unmatched existing rows are kept, new keys are inserted.
+
+        Because the merge plan READS the stage it replaces, the result
+        is written to a shadow directory first and atomically swapped in
+        (an in-place overwrite would corrupt the lazy self-read)."""
+        import shutil
+
+        spark = df.sparkSession
+        if self.exists(stage):
+            changed = df.select(*keys).distinct()
+            merged = (self.read(spark, stage)
+                      .join(changed, keys, "left_anti")
+                      .unionByName(df))
+        else:
+            merged = df
+        shadow = f"{stage}__merge_tmp"
+        self.write(merged, shadow, partition_by, label=stage)
+        for sub in ("", "_lineage", "_metrics"):
+            src = os.path.join(self.root, sub, shadow)
+            dst = os.path.join(self.root, sub, stage)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
+        return self.read(spark, stage)

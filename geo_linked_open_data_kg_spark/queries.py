@@ -356,7 +356,8 @@ WITH spans AS (
         SELECT gram, count(DISTINCT doc_id) AS df FROM grams
         WHERE regexp_matches(gram, '^[A-Z][a-z]') GROUP BY gram)
       WHERE df > 0.02 * (SELECT count(*)
-                         FROM read_parquet('{_sp("geo_documents")}')))
+                         FROM read_parquet('{_sp("geo_documents")}'))
+        AND lower(gram) NOT IN (SELECT alias_norm FROM aliases))
 ), dsurf AS (
   SELECT DISTINCT gram, lower(gram) AS gram_norm, n,
          length(lower(gram)) AS gram_len
@@ -1163,15 +1164,38 @@ def td_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_aug_documents(spark, sf_dir))
 
 
+_JACCARD_BLOCK_SQL = """
+hotdf AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+  HAVING count(*) > 20
+), rare AS (
+  SELECT sh.* FROM sh WHERE shingle NOT IN (SELECT shingle FROM hotdf)
+), honly AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM rare)
+), fb AS (
+  SELECT doc_id, shingle FROM (
+    SELECT s.doc_id, s.shingle,
+           row_number() OVER (PARTITION BY s.doc_id
+                              ORDER BY h.df ASC, s.shingle ASC) AS rn
+    FROM sh s JOIN hotdf h USING (shingle)
+    WHERE s.doc_id IN (SELECT doc_id FROM honly)) WHERE rn = 1
+), fbc AS (
+  SELECT doc_id, shingle FROM (
+    SELECT *, row_number() OVER (PARTITION BY shingle
+                                 ORDER BY doc_id) AS bn FROM fb)
+  WHERE bn <= 50
+), blocked AS (
+  SELECT doc_id, shingle FROM rare
+  UNION ALL SELECT doc_id, shingle FROM fbc
+)"""
+
+
 @register("td_ngram_jaccard_pairs", f"""
 WITH {_AUG_SQL.lstrip()}, {_SHINGLE_SQL.lstrip()},
-hot AS (
-  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 20
-), rare AS (
-  SELECT sh.* FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
-), cand AS (
+{_JACCARD_BLOCK_SQL.lstrip()}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM rare a JOIN rare b ON a.shingle = b.shingle
+  FROM blocked a JOIN blocked b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
@@ -1313,16 +1337,21 @@ sig AS (
   SELECT coalesce(sum(CASE WHEN n > 50 THEN 1 ELSE 0 END), 0) AS capped,
          coalesce(sum(CASE WHEN n > 50 THEN n - 50 ELSE 0 END), 0) AS dropped
   FROM bs
-), hot AS (
-  SELECT count(*) AS c FROM (
-    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 20)
-)
+), {_JACCARD_BLOCK_SQL.lstrip()}
 SELECT 'minhash_capped_buckets' AS metric, CAST(capped AS BIGINT) AS value
 FROM mh
 UNION ALL
 SELECT 'minhash_dropped_doc_slots', CAST(dropped AS BIGINT) FROM mh
 UNION ALL
-SELECT 'jaccard_hot_shingles_excluded', CAST(c AS BIGINT) FROM hot
+SELECT 'jaccard_hot_shingles_excluded',
+       CAST((SELECT count(*) FROM hotdf) AS BIGINT)
+UNION ALL
+SELECT 'jaccard_hot_only_docs',
+       CAST((SELECT count(*) FROM honly) AS BIGINT)
+UNION ALL
+SELECT 'jaccard_fallback_dropped_docs',
+       CAST((SELECT count(*) FROM fb) - (SELECT count(*) FROM fbc)
+            AS BIGINT)
 """)
 def td_dedup_cap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-silent-caps audit: every recall-bounding cap in the dedup

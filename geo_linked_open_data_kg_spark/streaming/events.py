@@ -93,6 +93,15 @@ def make_capped_session_fn(gap_minutes: int = 30,
     maximum duration (billing/abuse-control sessionization). Implemented
     as a custom stateful operator for applyInPandasWithState; the batch
     twin runs the same walk via applyInPandas (sessionize_capped_batch).
+
+    Cross-microbatch disorder (an event admitted inside the watermark
+    but older than the stored state) is guarded — the state walk never
+    moves last_s backward, so session_end >= session_start always holds:
+    - t within [start_s, last_s]: counted into the open session;
+    - t older than start_s by <= gap (and within cap): the session
+      start extends back to t (still one gap-connected run);
+    - older still: the event belongs to a session horizon that gap
+      semantics already closed — emitted as its own singleton session.
     """
     import pandas as pd
 
@@ -117,6 +126,16 @@ def make_capped_session_fn(gap_minutes: int = 30,
                 if n == 0:
                     start_s = last_s = t
                     n = 1
+                elif t < start_s:
+                    # late arrival older than the open session (possible
+                    # only across microbatches; in-batch input is sorted)
+                    if start_s - t <= gap_s and last_s - t <= cap_s:
+                        start_s = t
+                        n += 1
+                    else:
+                        closed.append((user_id, t, t, 1))
+                elif t <= last_s:
+                    n += 1  # in-session late arrival; bounds unchanged
                 elif t - last_s > gap_s or t - start_s > cap_s:
                     closed.append((user_id, start_s, last_s, n))
                     start_s = last_s = t

@@ -94,5 +94,32 @@ def test_dedup_cap_metrics_shape(spark):
             for r in q.td_dedup_cap_metrics(spark, SF_DIR).collect()}
     assert set(rows) == {"minhash_capped_buckets",
                          "minhash_dropped_doc_slots",
-                         "jaccard_hot_shingles_excluded"}
+                         "jaccard_hot_shingles_excluded",
+                         "jaccard_hot_only_docs",
+                         "jaccard_fallback_dropped_docs"}
     assert all(v >= 0 for v in rows.values())
+
+
+def test_hot_only_template_cluster_still_pairs(spark):
+    """>df_cap near-identical template docs: every shared shingle is hot,
+    so rare-only blocking yields ZERO candidates (round-2 ADVICE). The
+    per-doc lowest-df fallback key must rescue the cluster."""
+    from geo_linked_open_data_kg_spark.operators.dedup import (
+        _jaccard_blocking,
+        dedup_cap_metrics,
+    )
+    base = ("standard form letter issued by the land office regarding "
+            "the quarter section survey of township")
+    rows = [(i, f"{base} {i % 2}") for i in range(30)]  # 2 exact groups
+    docs = _docs(spark, rows)
+    # the fallback path must be exercised: all docs are hot-only
+    m = {r["metric"]: r["value"]
+         for r in dedup_cap_metrics(docs, df_cap=10).collect()}
+    assert m["jaccard_hot_only_docs"] == 30
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in ngram_jaccard_pairs(docs, threshold=0.8,
+                                          df_cap=10).collect()}
+    # same-parity docs are near-identical (J=1 on shared shingles)
+    assert (0, 2) in pairs and (1, 3) in pairs, pairs
+    # blocking stream stays bounded: one fallback row per doc
+    assert _jaccard_blocking(docs, df_cap=10).count() <= 30

@@ -161,3 +161,72 @@ def test_capped_sessionization_stream_matches_batch(spark, tmpdir):
              int(r["session_end"].timestamp()), r["n_events"])
             for r in sessionize_capped_batch(events).collect()}
     assert got == want and len(got) > 0
+
+
+def test_capped_sessionization_two_batch_out_of_order(spark, tmpdir):
+    """Cross-microbatch disorder (round-2 ADVICE): a second batch carries
+    events older than the stored session state. The guard must (a) fold
+    an in-session late event without moving bounds, (b) emit a
+    beyond-gap late event as its own singleton, and (c) never produce
+    session_end < session_start."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from geo_linked_open_data_kg_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+        run_available_now,
+        sessionize_capped_stream,
+    )
+
+    def _ev(eid, user, t):
+        return Row(event_id=eid, ts=t, user_id=user, event_type="e",
+                   value=0.0, props="p")
+
+    def _write(rows, name):
+        df = (spark.createDataFrame(rows)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("props", F.col("props").cast("string"))
+              .select([f.name for f in EVENTS_SCHEMA]))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        # file source wants files in ONE dir: move the part file up
+        import glob
+        import shutil as sh
+        part = glob.glob(f"{src}/{name}/part-*.parquet")[0]
+        sh.move(part, f"{src}/{name}.parquet")
+        sh.rmtree(f"{src}/{name}")
+
+    src = f"{tmpdir}/ooo"
+    os.makedirs(src, exist_ok=True)
+
+    def _run():
+        # file sink (not memory): supports checkpoint recovery, so the
+        # second availableNow run resumes the same state
+        out = sessionize_capped_stream(read_events_stream(spark, src))
+        q = (out.writeStream.format("parquet")
+             .option("path", f"{tmpdir}/ooo_out")
+             .option("checkpointLocation", f"{tmpdir}/ck_ooo")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    base = 100000
+    _write([_ev(1, 1, base), _ev(2, 1, base + 100)], "b1")
+    _run()
+    # batch 2: in-session late (100050), beyond-gap late (95000; 5000s
+    # older than session start > 1800s gap), and a far-future watermark
+    # driver on another user to flush user 1's open session
+    _write([_ev(3, 1, base + 50), _ev(4, 1, base - 5000),
+            _ev(5, 99, base + 200000)], "b2")
+    _run()
+
+    got = [(r["user_id"], r["s"], r["e"], r["n_events"])
+           for r in spark.read.parquet(f"{tmpdir}/ooo_out")
+           .selectExpr("user_id", "CAST(session_start AS LONG) AS s",
+                       "CAST(session_end AS LONG) AS e", "n_events")
+           .collect()]
+    u1 = sorted(t for t in got if t[0] == 1)
+    assert u1 == [(1, base - 5000, base - 5000, 1),
+                  (1, base, base + 100, 3)], got
+    assert all(s <= e for _, s, e, _ in got)
