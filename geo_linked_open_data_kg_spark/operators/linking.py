@@ -323,18 +323,50 @@ def fuzzy_candidates(grams: DataFrame, places: DataFrame,
 def link_mentions(documents: DataFrame, places: DataFrame,
                   k: int = 10, min_confidence: float = 0.5,
                   with_fuzzy: bool = True,
-                  broadcast_aliases: bool = True) -> DataFrame:
+                  broadcast_aliases: bool = True,
+                  n_docs: int | None = None) -> DataFrame:
     """Full stage-1+2: detect, contextualize, score, fuzzy-fallback, rank.
 
     Output: (doc_id, span_offset, start, n, mention_text, geoname_id,
     strategy, confidence, rank) — top-k per occurrence, threshold applied,
     deterministic total order.
+
+    `n_docs` (stoplist denominator) can be passed by callers that know
+    it: counting `documents` here would execute every upstream transform
+    (e.g. the pipeline's corpus repartition) just to count rows.
     """
     exact_all = scored_exact_candidates(documents, places,
                                         broadcast_aliases=broadcast_aliases)
     strategies = (exact_all.where(~F.col("is_ctx_occ"))
                   .select(*OCC_KEYS, "mention_text", "geoname_id",
                           "strategy", "confidence", "population"))
+
+    # Ranking runs PER BRANCH, with no occurrence repartition at all:
+    # - the exact and fuzzy branches are DISJOINT by occurrence (the
+    #   fuzzy anti-join suppresses every occurrence contained in an
+    #   exact match, and an equal range is contained), so a per-branch
+    #   top-k equals top-k over the union;
+    # - within a branch, (occurrence, geoname_id) is already unique
+    #   (distinct alias map / per-gram distinct + cap), so the old
+    #   best-per-pair window was a no-op;
+    # - the exact branch inherits doc_id clustering from its per-span
+    #   groupBy (query path) or the pipeline's corpus repartition, which
+    #   SATISFIES the window's distribution requirement (subset rule) —
+    #   so ranking adds a sort but ZERO corpus exchanges. The old
+    #   occurrence repartition shuffled every candidate row WITH its
+    #   mention_text — the single biggest shuffle in executor mode.
+    occ_w = (Window.partitionBy(*OCC_KEYS)
+             .orderBy(F.col("confidence").desc(), F.col("population").desc(),
+                      F.col("geoname_id").asc()))
+
+    def rank(df: DataFrame) -> DataFrame:
+        return (df.withColumn("rank", F.row_number().over(occ_w))
+                .where((F.col("rank") <= k)
+                       & (F.col("confidence") >= min_confidence))
+                .select(*OCC_KEYS, "mention_text", "geoname_id", "strategy",
+                        "confidence", "rank"))
+
+    out = rank(strategies)
     if with_fuzzy:
         # the fuzzy path only ever looks at capitalized grams, so gram
         # construction is position-filtered to capitalized tokens
@@ -352,34 +384,17 @@ def link_mentions(documents: DataFrame, places: DataFrame,
         # exemption dim built WITHOUT the distinct: anti-join keys may
         # repeat, and skipping the dedup keeps this branch exchange-free
         stop = corpus_stop_surfaces(
-            grams, documents.count(),
+            grams, n_docs if n_docs is not None else documents.count(),
             exempt_alias_norms=alias_map(places, dedup=False)
             .select("alias_norm"))
         fz = (fuzzy_candidates(grams, places, exact_all.select(*OCC_KEYS),
                                stop_surfaces=stop)
               .join(F.broadcast(places.select("geoname_id", "population")),
-                    "geoname_id"))
-        strategies = strategies.unionByName(fz.select(
-            *OCC_KEYS, "mention_text", "geoname_id", "strategy", "confidence",
-            "population"))
-
-    # best strategy per (occurrence, candidate), then top-k per occurrence.
-    # One explicit hash(occurrence) exchange serves BOTH windows: clustering
-    # on the occurrence keys satisfies the (occurrence, candidate) window's
-    # distribution requirement, so only sorts remain between them.
-    strategies = strategies.repartition(*OCC_KEYS)
-    pair_w = (Window.partitionBy(*OCC_KEYS, "geoname_id")
-              .orderBy(F.col("confidence").desc(), F.col("strategy").asc()))
-    best = (strategies.withColumn("pr", F.row_number().over(pair_w))
-            .where(F.col("pr") == 1).drop("pr"))
-    occ_w = (Window.partitionBy(*OCC_KEYS)
-             .orderBy(F.col("confidence").desc(), F.col("population").desc(),
-                      F.col("geoname_id").asc()))
-    return (best.withColumn("rank", F.row_number().over(occ_w))
-            .where((F.col("rank") <= k)
-                   & (F.col("confidence") >= min_confidence))
-            .select(*OCC_KEYS, "mention_text", "geoname_id", "strategy",
-                    "confidence", "rank"))
+                    "geoname_id")
+              .select(*OCC_KEYS, "mention_text", "geoname_id", "strategy",
+                      "confidence", "population"))
+        out = out.unionByName(rank(fz))
+    return out
 
 
 def mention_triples(linked: DataFrame) -> DataFrame:

@@ -41,7 +41,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                  force: bool = False) -> dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns the stage outputs."""
     ckpt = CheckpointStore(out_dir)
-    n_part = doc_partitions or spark.sparkContext.defaultParallelism
+    # match the shuffle-partition count so the reused corpus clustering
+    # carries the same parallelism as every downstream exchange
+    n_part = doc_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
 
     places = load(spark, sf_dir, "places")
     wd = load(spark, sf_dir, "wikidata_places")
@@ -50,14 +53,24 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     post_offices = load(spark, sf_dir, "post_offices")
     a1 = (load(spark, sf_dir, "admin1_names")
           .where(F.col("country_code") == "AA"))
-    docs = (load(spark, sf_dir, "geo_documents")
-            .repartition(n_part, F.hash("doc_id")))
+    # repartition by the doc_id COLUMN (not an opaque hash(doc_id)
+    # expression): Catalyst then knows the corpus is clustered by doc_id,
+    # so the cascade's per-span groupBy ((doc_id, span_offset) ⊇ doc_id)
+    # and the tokens-rebuild join satisfy their distribution requirements
+    # WITHOUT further corpus-wide exchanges — one shuffle of the corpus
+    # total, reused across DAG branches (ReuseExchange)
+    raw_docs = load(spark, sf_dir, "geo_documents")
+    docs = raw_docs.repartition(n_part, F.col("doc_id"))
     fprio = load(spark, sf_dir, "feature_priority")
     wprio = load(spark, sf_dir, "wd_type_priority")
 
     linked = ckpt.get_or_compute(
         spark, "linked_mentions",
-        lambda: linking.link_mentions(docs, places), force=force)
+        # n_docs from the raw scan (row-group stats count) — counting
+        # the repartitioned df would run the corpus exchange twice
+        lambda: linking.link_mentions(docs, places,
+                                      n_docs=raw_docs.count()),
+        force=force)
 
     mention_t = ckpt.get_or_compute(
         spark, "mention_triples",

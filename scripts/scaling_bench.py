@@ -72,8 +72,11 @@ places = load(spark, sf_dir, "places")
 wd = load(spark, sf_dir, "wikidata_places")
 fprio = load(spark, sf_dir, "feature_priority")
 wprio = load(spark, sf_dir, "wd_type_priority")
+# column (not hash-expression) repartition: downstream per-span groupBy
+# and tokens joins reuse this clustering instead of re-shuffling the
+# corpus (subset distribution satisfaction)
 big_docs = spark.read.parquet(f"{tmp_in}/geo_documents.parquet") \
-    .repartition(total_cores * 8, F.hash("doc_id"))
+    .repartition(total_cores * 8, F.col("doc_id"))
 
 # warm: Catalyst planning + whole-stage-codegen JIT of the fused cascade
 # plan on a tiny slice — a per-session constant (~30 s) that a production
@@ -82,7 +85,7 @@ linking.link_mentions(big_docs.limit(2000), places).count()
 spatial.spatial_links(wd.limit(500), places, fprio, wprio).count()
 
 t0 = time.time()
-linked = linking.link_mentions(big_docs, places)
+linked = linking.link_mentions(big_docs, places, n_docs=n_docs)
 mt = linking.mention_triples(linked)
 TRIPLE_COLS = ["subj", "pred", "obj", "confidence", "evidence"]
 gaz = (direct_link.direct_id_links(wd, places).select(*TRIPLE_COLS)
