@@ -18,7 +18,7 @@ import subprocess
 import sys
 
 WORKER = r'''
-import sys, time, json
+import os, sys, time, json
 from pyspark.sql import SparkSession, functions as F
 master = sys.argv[1]
 spark = (SparkSession.builder.master(master)
@@ -28,9 +28,20 @@ spark = (SparkSession.builder.master(master)
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(1000).count()  # warm
 t0 = time.time()
-df = spark.range(0, 400_000_000, 1, 64)
-n = (df.withColumn("k", F.md5(F.col("id").cast("string")))
-       .groupBy(F.substring("k", 1, 4)).count().count())
+if os.environ.get("PROBE", "codegen") == "strings":
+    # memory-BANDWIDTH-bound probe: wide string construction + array
+    # splits, the cache-hostile shape of the mention cascade (the
+    # cache-resident md5 probe overstates what string-heavy work can
+    # scale to on a shared bus)
+    df = spark.range(0, 40_000_000, 1, 64)
+    n = (df.withColumn("s", F.repeat(F.md5(F.col("id").cast("string")), 8))
+           .withColumn("t", F.split(F.col("s"), "a"))
+           .groupBy(F.substring("s", 1, 3))
+           .agg(F.sum(F.size("t")).alias("z")).count())
+else:
+    df = spark.range(0, 400_000_000, 1, 64)
+    n = (df.withColumn("k", F.md5(F.col("id").cast("string")))
+           .groupBy(F.substring("k", 1, 4)).count().count())
 print(json.dumps({"master": master, "sec": round(time.time() - t0, 1),
                   "n_groups": n}))
 spark.stop()
@@ -42,6 +53,8 @@ MASTERS = ["local[8]", "local[32]",
 
 
 def main() -> None:
+    import os
+    probe = os.environ.get("PROBE", "codegen")
     res = {}
     for m in MASTERS:
         out = subprocess.run([sys.executable, "-c", WORKER, m],
@@ -57,7 +70,7 @@ def main() -> None:
                       ("local-cluster[1,2,4096]", "local-cluster[4,2,4096]", 4)]:
         if lo in res and hi in res:
             eff = res[lo]["sec"] / (res[hi]["sec"] * f)
-            print(f"ceiling {lo} -> {hi}: efficiency {eff:.3f}")
+            print(f"ceiling[{probe}] {lo} -> {hi}: efficiency {eff:.3f}")
 
 
 if __name__ == "__main__":

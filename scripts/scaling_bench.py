@@ -84,22 +84,39 @@ big_docs = spark.read.parquet(f"{tmp_in}/geo_documents.parquet") \
 linking.link_mentions(big_docs.limit(2000), places).count()
 spatial.spatial_links(wd.limit(500), places, fprio, wprio).count()
 
-t0 = time.time()
-linked = linking.link_mentions(big_docs, places, n_docs=n_docs)
-mt = linking.mention_triples(linked)
 TRIPLE_COLS = ["subj", "pred", "obj", "confidence", "evidence"]
-gaz = (direct_link.direct_id_links(wd, places).select(*TRIPLE_COLS)
-       .unionByName(admin.admin_triples(places).select(*TRIPLE_COLS))
-       .unionByName(spatial.spatial_links(wd, places, fprio, wprio)
-                    .select(*TRIPLE_COLS)))
-canon = rewrite_triples(gaz.unionByName(mt.select(*TRIPLE_COLS)),
-                        canonical_mapping(gaz.where(F.col("pred") == "sameAs")))
-n_triples = canon.count()
-elapsed = time.time() - t0
+
+
+def run_once():
+    # rebuild the WHOLE DAG (fresh localCheckpoints — nothing cached
+    # across runs) and execute it end to end
+    t0 = time.time()
+    linked = linking.link_mentions(big_docs, places, n_docs=n_docs)
+    mt = linking.mention_triples(linked)
+    gaz = (direct_link.direct_id_links(wd, places).select(*TRIPLE_COLS)
+           .unionByName(admin.admin_triples(places).select(*TRIPLE_COLS))
+           .unionByName(spatial.spatial_links(wd, places, fprio, wprio)
+                        .select(*TRIPLE_COLS)))
+    canon = rewrite_triples(
+        gaz.unionByName(mt.select(*TRIPLE_COLS)),
+        canonical_mapping(gaz.where(F.col("pred") == "sameAs")))
+    n = canon.count()
+    return time.time() - t0, n
+
+
+# cold run (first full-size execution: JIT of the full-size plan, page
+# cache, shuffle-file allocation) then steady-state run — long-lived
+# executors amortize the cold costs, so steady state is the
+# production-relevant number; both are reported
+cold_sec, n_triples = run_once()
+steady_sec, n2 = run_once()
+assert n2 == n_triples
 print(json.dumps({"master": master, "total_cores": total_cores,
-                  "sec": round(elapsed, 2),
+                  "sec": round(steady_sec, 2),
+                  "cold_sec": round(cold_sec, 2),
                   "n_docs": n_docs, "n_triples": n_triples,
-                  "docs_per_sec": round(n_docs / elapsed, 1)}))
+                  "docs_per_sec": round(n_docs / steady_sec, 1),
+                  "cold_docs_per_sec": round(n_docs / cold_sec, 1)}))
 shutil.rmtree(tmp_in, ignore_errors=True)
 spark.stop()
 """
@@ -137,18 +154,21 @@ def main() -> None:
     thr_hi = results[hi]["docs_per_sec"]
     ratio = results[hi]["total_cores"] / results[lo]["total_cores"]
     eff = thr_hi / (thr_lo * ratio)
+    cold_lo = results[lo]["cold_docs_per_sec"]
+    cold_hi = results[hi]["cold_docs_per_sec"]
+    cold_eff = cold_hi / (cold_lo * ratio)
     unit = "executors x %d cores" % EXEC_CORES \
         if EXEC_MODE == "local-cluster" else "threads"
     section = f"""
 ## Measurement: {EXEC_MODE}, MULT={MULT} ({results[lo]['n_docs']} docs)
 
-| level | master | wall sec | docs/sec | triples |
-|---|---|---|---|---|
-| N = {lo} {unit} | `{results[lo]['master']}` | {results[lo]['sec']} | {thr_lo} | {results[lo]['n_triples']} |
-| {hi // lo}N = {hi} {unit} | `{results[hi]['master']}` | {results[hi]['sec']} | {thr_hi} | {results[hi]['n_triples']} |
+| level | master | steady sec | steady docs/sec | cold sec | cold docs/sec | triples |
+|---|---|---|---|---|---|---|
+| N = {lo} {unit} | `{results[lo]['master']}` | {results[lo]['sec']} | {thr_lo} | {results[lo]['cold_sec']} | {cold_lo} | {results[lo]['n_triples']} |
+| {hi // lo}N = {hi} {unit} | `{results[hi]['master']}` | {results[hi]['sec']} | {thr_hi} | {results[hi]['cold_sec']} | {cold_hi} | {results[hi]['n_triples']} |
 
-**Scaling efficiency (N -> {hi // lo}N): {eff:.3f}** =
-{thr_hi} / ({ratio:.0f} x {thr_lo})
+**Scaling efficiency (N -> {hi // lo}N): steady {eff:.3f}** =
+{thr_hi} / ({ratio:.0f} x {thr_lo}); cold {cold_eff:.3f}
 """
     with open("/root/repo/BENCH.md", "a") as f:
         f.write(section)
