@@ -1,0 +1,68 @@
+"""Streaming ingest surface for the document corpus: incremental
+mention detection / entity linking over a readStream of document drops.
+
+The reference's streaming-adjacent notion is resumable incremental
+batch (SURVEY.md §2.9); the Spark-first shape for "new documents keep
+arriving" is a file-source stream + foreachBatch running the SAME
+batch operators per micro-batch — mention detection is per-document
+work (the per-span groupBy never crosses documents), so incremental
+processing is semantics-preserving by construction, and exactly-once
+file-source tracking replaces the reference's offset/resume state files
+(create_admin_hierarchies_robust.py:40-50).
+
+Results append to a parquet sink; combined with
+plans.checkpoint.CheckpointStore.merge_upsert the same loop supports
+keyed re-drops (an updated document replaces its own mentions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("spans", T.ArrayType(T.StructType([
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]))),
+])
+
+
+def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (spark.readStream
+            .schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(path))
+
+
+def stream_detect_mentions(doc_stream: DataFrame, places: DataFrame,
+                           out_path: str, checkpoint_dir: str,
+                           available_now: bool = True,
+                           timeout_sec: int = 300):
+    """Incremental stage-1 detection: each micro-batch of documents runs
+    the batch `detect_mentions` operator and appends to a parquet sink.
+
+    Valid because detection is per-document (broadcast alias map, spans
+    never cross documents) — batch(all docs) == union of batch(drops).
+    The file source's offset log gives exactly-once per input file.
+    """
+    from geo_linked_open_data_kg_spark.operators.mentions import (
+        detect_mentions,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (detect_mentions(batch_df, places)
+         .write.mode("append").parquet(out_path))
+
+    writer = (doc_stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination(timeout_sec)
+    return q

@@ -230,3 +230,50 @@ def test_capped_sessionization_two_batch_out_of_order(spark, tmpdir):
     assert u1 == [(1, base - 5000, base - 5000, 1),
                   (1, base, base + 100, 3)], got
     assert all(s <= e for _, s, e, _ in got)
+
+
+def test_stream_mention_detection_matches_batch(spark, tmpdir):
+    """Incremental corpus ingest: two document drops through
+    foreachBatch detection must equal one batch detection over the full
+    corpus, with exactly-once per input file across two availableNow
+    runs sharing a checkpoint."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geo_linked_open_data_kg_spark.operators.mentions import (
+        detect_mentions,
+    )
+    from geo_linked_open_data_kg_spark.sources.registry import load
+    from geo_linked_open_data_kg_spark.streaming.documents import (
+        read_documents_stream,
+        stream_detect_mentions,
+    )
+
+    docs = load(spark, SF_DIR, "geo_documents")
+    places = load(spark, SF_DIR, "places").cache()
+    half_a = docs.where(F.crc32(F.col("doc_id")) % 2 == 0)
+    half_b = docs.where(F.crc32(F.col("doc_id")) % 2 == 1)
+
+    src = f"{tmpdir}/docs_stream"
+    out = f"{tmpdir}/mentions_out"
+    os.makedirs(src, exist_ok=True)
+
+    def drop(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/{name}")
+        import glob
+        import shutil as sh
+        part = glob.glob(f"{tmpdir}/{name}/part-*.parquet")[0]
+        sh.move(part, f"{src}/{name}.parquet")
+        sh.rmtree(f"{tmpdir}/{name}")
+
+    drop(half_a, "drop_a")
+    stream_detect_mentions(read_documents_stream(spark, src), places,
+                           out, f"{tmpdir}/ck_docs")
+    drop(half_b, "drop_b")
+    stream_detect_mentions(read_documents_stream(spark, src), places,
+                           out, f"{tmpdir}/ck_docs")
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in detect_mentions(docs, places).collect()}
+    assert got == want and len(got) > 0
