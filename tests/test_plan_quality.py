@@ -54,6 +54,31 @@ def test_mention_cascade_exchange_budget(spark):
     from geo_linked_open_data_kg_spark.sources.registry import load
     linked = link_mentions(load(spark, SF_DIR, "geo_documents"),
                            load(spark, SF_DIR, "places"))
-    n_ex = len(re.findall(r"Exchange hashpartitioning", _plan(linked)))
+    plan = _plan(linked)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_ex <= 12, \
         f"linking cascade regressed to {n_ex} exchanges (budget 12)"
+    # round 3: the occurrence-ranking repartition (which shuffled every
+    # candidate row WITH its mention_text) was eliminated — ranking is
+    # per-branch and the exact branch sorts within inherited clustering
+    assert "REPARTITION_BY_COL" not in plan, \
+        "explicit occurrence repartition crept back into the cascade"
+
+
+def test_pipeline_cascade_per_span_groupby_elides_exchange(spark):
+    """With the corpus clustered by the doc_id COLUMN, the per-span
+    groupBy and the tokens-rebuild join must reuse that clustering
+    (subset distribution satisfaction) instead of re-shuffling the
+    corpus — the round-3 executor-mode win."""
+    from pyspark.sql import functions as F
+
+    from geo_linked_open_data_kg_spark.operators.mentions import (
+        detect_mentions,
+    )
+    from geo_linked_open_data_kg_spark.sources.registry import load
+    docs = (load(spark, SF_DIR, "geo_documents")
+            .repartition(8, F.col("doc_id")))
+    plan = _plan(detect_mentions(docs, load(spark, SF_DIR, "places")))
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert not any("span_offset" in k for k in keys), \
+        f"per-span groupBy re-shuffled a clustered corpus: {keys}"
