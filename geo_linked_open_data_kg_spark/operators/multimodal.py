@@ -73,6 +73,32 @@ def decode_stub(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     return refs.mapInPandas(op, schema=DECODE_SCHEMA)
 
 
+def sample_frames(features: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Uniform-stride frame sampling over decoded media metadata: at most
+    `max_frames` frames per asset occurrence, stride = ceil(n/max).
+
+    Pure Column (sequence + explode — JVM-side, no Python): the frame
+    INDEX plan is data-independent of the decoder, so at scale the
+    sampling plan prunes decode work to the sampled frames (a real
+    decoder receives (media_ref, frame_idx) pairs). frame_hash is the
+    deterministic stand-in for per-frame content features.
+
+    Output: (doc_id, span_offset, media_ref, frame_idx, frame_hash).
+    """
+    stride = F.greatest(
+        F.ceil(F.col("fake_n_frames") / F.lit(float(max_frames)))
+        .cast("int"), F.lit(1))
+    idxs = F.sequence(F.lit(0), F.col("fake_n_frames") - 1, stride)
+    return (features
+            .select("doc_id", "span_offset", "media_ref", "fake_n_frames",
+                    F.explode(idxs).alias("frame_idx"))
+            .select("doc_id", "span_offset", "media_ref",
+                    F.col("frame_idx").cast("int").alias("frame_idx"),
+                    F.md5(F.concat(F.col("media_ref"), F.lit(":"),
+                                   F.col("frame_idx").cast("string")))
+                    .alias("frame_hash")))
+
+
 def media_features(documents: DataFrame) -> DataFrame:
     """Per-span media metadata: media spans joined back to their decoded
     asset features. (doc_id, span_offset, media_ref, fake_width, ...)."""

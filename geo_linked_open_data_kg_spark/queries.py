@@ -1544,6 +1544,38 @@ def td_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(load(spark, sf_dir, "geo_documents"))
 
 
+@register("td_media_frame_samples", f"""
+WITH m AS (
+  SELECT doc_id, s."offset" AS span_offset, s.media_ref AS media_ref
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{_sp("geo_documents")}'))
+  WHERE s.kind = 'media'
+), feat AS (
+  SELECT doc_id, span_offset, media_ref,
+         CAST(1 + CAST(('0x' || substr(md5(media_ref), 5, 1)) AS BIGINT)
+              AS INTEGER) AS n_frames
+  FROM m
+), strided AS (
+  SELECT *, greatest(CAST(ceil(n_frames / 4.0) AS INTEGER), 1) AS stride
+  FROM feat
+)
+SELECT doc_id, span_offset, media_ref,
+       CAST(u.i AS INTEGER) AS frame_idx,
+       md5(media_ref || ':' || CAST(u.i AS VARCHAR)) AS frame_hash
+FROM strided
+CROSS JOIN LATERAL unnest(generate_series(0, n_frames - 1, stride)) u(i)
+""")
+def td_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-stride frame sampling over the (stub-decoded) media
+    assets — the multimodal pipeline's per-frame fan-out, pure Column."""
+    from geo_linked_open_data_kg_spark.operators.multimodal import (
+        media_features,
+        sample_frames,
+    )
+    return sample_frames(media_features(load(spark, sf_dir,
+                                             "geo_documents")))
+
+
 # --------------------------------------------------- events / windows ------
 
 @register("ev_tumbling_counts", """
