@@ -58,7 +58,7 @@ SYL_C = ["", "", "", "", " Falls", " Creek", " Landing", " Heights", " Junction"
 # scripts/linkers/link_hgis_to_lod.py:35-144: settlements high, POIs low)
 FEATURE_PRIORITY = {
     "PPLC": 100, "PPLA": 95, "PPLA2": 90, "PPL": 80, "PPLX": 70,
-    "ADM1": 85, "ADM2": 75, "ADM3": 65, "ADMD": 60,
+    "ADM1": 85, "ADM2": 75, "ADM3": 65, "ADM4": 62, "ADMD": 60,
     "TOWR": 20, "CH": 25, "SCH": 25, "BDG": 15, "PRK": 30, "CMTY": 20,
     "LK": 40, "STM": 35, "MT": 45,
     # historical codes (link_hgis_to_lod.py:104-106: PPLH 60, PPLQ 55)
@@ -370,6 +370,66 @@ def augment_places_historical(places: dict) -> None:
     places["dissolved_date"] = dissolved
 
 
+def augment_places_adm4(places: dict) -> None:
+    """ADM4 hierarchy level (reference README.md:54-59 builds
+    LOCATED_IN_ADMIN1..4; add_admin3_links.py:60-115 explicitly handles
+    ADM4). Real GeoNames has ADM4 rows (UK/DE/FR heavy); the fixture
+    previously pinned admin4_code=None so level 4 could never be
+    exercised or oracled. ~50% of ADM3 units gain 1-2 ADM4 child units
+    (appended rows, feature_class 'A'), and ~40% of populated places
+    under a covered ADM3 get the admin4_code of one child. Fresh rng
+    (SEED+11); new rows append AFTER all existing ids and this runs
+    before augment_places_historical (which draws rng only for
+    feature_class 'P' rows), so every pre-existing column stays
+    byte-identical."""
+    rng = np.random.default_rng(SEED + 11)
+    n = len(places["geoname_id"])
+    adm3_units = [
+        (i, (places["country_code"][i], places["admin1_code"][i],
+             places["admin2_code"][i], places["admin3_code"][i]))
+        for i in range(n) if places["feature_code"][i] == "ADM3"]
+    gid = max(places["geoname_id"])
+    children: dict[tuple, list[str]] = {}
+    new_rows: list[tuple[int, int, str]] = []  # (gid, parent_row, a4 code)
+    for i, key in adm3_units:
+        if rng.random() < 0.5:
+            for c in range(1 + int(rng.integers(0, 2))):
+                a4 = f"{c + 1:05d}"
+                gid += 1
+                children.setdefault(key, []).append(a4)
+                new_rows.append((gid, i, a4))
+    for i in range(n):
+        if (places["feature_class"][i] == "P"
+                and places["admin3_code"][i] is not None):
+            key = (places["country_code"][i], places["admin1_code"][i],
+                   places["admin2_code"][i], places["admin3_code"][i])
+            codes = children.get(key)
+            if codes and rng.random() < 0.4:
+                places["admin4_code"][i] = \
+                    codes[int(rng.integers(0, len(codes)))]
+    for g, pi, a4 in new_rows:
+        places["geoname_id"].append(g)
+        nm = f"{places['name'][pi]} Ward {int(a4)}"
+        places["name"].append(nm)
+        places["ascii_name"].append(nm)
+        places["alternate_names"].append([])
+        places["latitude"].append(
+            round(places["latitude"][pi] + float(rng.uniform(-0.2, 0.2)), 5))
+        places["longitude"].append(
+            round(places["longitude"][pi] + float(rng.uniform(-0.2, 0.2)), 5))
+        places["feature_class"].append("A")
+        places["feature_code"].append("ADM4")
+        places["country_code"].append(places["country_code"][pi])
+        places["admin1_code"].append(places["admin1_code"][pi])
+        places["admin2_code"].append(places["admin2_code"][pi])
+        places["admin3_code"].append(places["admin3_code"][pi])
+        places["admin4_code"].append(a4)
+        places["population"].append(int(rng.integers(500, 20000)))
+        places["elevation"].append(int(rng.integers(0, 2500)))
+        places["timezone"].append(places["timezone"][pi])
+        places["modified_date"].append(places["modified_date"][pi])
+
+
 def gen_orgs(rng: np.random.Generator, wd: dict, n: int) -> dict:
     qids = wd["qid"]
     rows = {k: [] for k in ["qid", "name", "headquarters_qid", "location_qids",
@@ -575,6 +635,7 @@ def write_sf(out_dir: str, sf: str) -> None:
     # post-generation augments (fresh rngs — see each docstring): must run
     # after every consumer of the main rng stream so existing columns stay
     # byte-identical across rounds
+    augment_places_adm4(places)
     augment_places_historical(places)
     augment_org_formation(orgs, wd)
 

@@ -1,7 +1,8 @@
 """Administrative-hierarchy triples (reference J4 / J15 / G6).
 
 Reference: scripts/linkers/create_admin_hierarchies_robust.py:180-370 builds
-LOCATED_IN_ADMIN1..3 / PART_OF edges country-by-country with adaptive
+LOCATED_IN_ADMIN1..4 / PART_OF edges (README.md:54-59;
+add_admin3_links.py:60-115 handles ADM4) country-by-country with adaptive
 chunking (3-tier by country size, PROJECT_STATUS.md:77-103) because Neo4j
 transactions choke on mega-countries. Spark shape: one composite-key
 equi-join per level over the whole planet — skew (China/India ~ our 'AA')
@@ -84,7 +85,8 @@ def located_in_country(places: DataFrame, country_qids: DataFrame | None = None)
 def admin_triples(places: DataFrame) -> DataFrame:
     """All admin-hierarchy triples in one pass (union of levels)."""
     parts = [located_in_admin(places, 1), located_in_admin(places, 2),
-             located_in_admin(places, 3), part_of(places, 2), part_of(places, 3),
+             located_in_admin(places, 3), located_in_admin(places, 4),
+             part_of(places, 2), part_of(places, 3), part_of(places, 4),
              located_in_country(places)]
     out = parts[0]
     for p in parts[1:]:

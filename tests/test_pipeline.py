@@ -32,6 +32,11 @@ def test_pipeline_end_to_end(spark, out_dir):
     assert {"sameAs", "nearTo", "partOf", "mentions", "locatedInCountry",
             "bornIn", "diedIn", "residedIn", "workedAt", "citizenOf",
             "spouseOf", "parentOf", "headquarteredIn", "foundedIn"} <= preds
+    # ADM4 level is non-vacuous (VERDICT r3 item 4): the fixture now emits
+    # ADM4 units + admin4-coded populated places, so locatedInAdmin4 and
+    # ADM4->ADM3 partOf edges must materialize
+    assert "locatedInAdmin4" in preds
+    assert canon.where(F.col("pred") == "locatedInAdmin4").count() > 0
     labels = {r["label"] for r in
               res["nodes"].select("label").distinct().collect()}
     assert {"Place", "WikidataPlace", "Person", "Organization",
