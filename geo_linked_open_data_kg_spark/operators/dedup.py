@@ -154,17 +154,14 @@ def hot_shingles(documents: DataFrame,
             .where(F.col("df") > df_cap))
 
 
-def _jaccard_blocking(documents: DataFrame,
-                      df_cap: int = JACCARD_DF_CAP,
-                      fb_cap: int = FB_BUCKET_CAP) -> DataFrame:
-    """(doc_id, shingle) blocking pairs for jaccard candidate generation:
-    every rare shingle (df <= df_cap), PLUS — for docs whose ENTIRE
-    shingle set is hot (a >df_cap-sized template/boilerplate cluster,
-    which rare-only blocking would silently drop, round-2 ADVICE) — the
-    doc's single lowest-df shingle as a fallback block key. The fallback
-    stream is per-doc-single-row and its buckets are capped at fb_cap
-    (audited by dedup_cap_metrics), so it can never go quadratic. The
-    hot dim (<= n_slots/df_cap rows) stays broadcastable."""
+def _jaccard_blocking_parts(documents: DataFrame,
+                            df_cap: int = JACCARD_DF_CAP):
+    """Shared construction of the jaccard blocking streams, consumed by
+    BOTH _jaccard_blocking (the blocking itself) and dedup_cap_metrics
+    (the audit) so the two cannot silently drift on a future edit
+    (round-3 ADVICE). Returns (rare, hot, hot_only, fb): `fb` is the
+    per-doc single fallback block row, UNCAPPED, carrying its bucket row
+    number `bn` — callers apply/measure the fb_cap themselves."""
     from pyspark.sql import Window
     sh = shingles(documents)
     hot = hot_shingles(documents, df_cap)  # (shingle, df)
@@ -180,10 +177,25 @@ def _jaccard_blocking(documents: DataFrame,
           .withColumn("rn", F.row_number().over(w))
           .where(F.col("rn") == 1))
     bw = Window.partitionBy("shingle").orderBy("doc_id")
-    fbc = (fb.withColumn("bn", F.row_number().over(bw))
-           .where(F.col("bn") <= fb_cap))
+    fb = fb.withColumn("bn", F.row_number().over(bw))
+    return rare, hot, hot_only, fb
+
+
+def _jaccard_blocking(documents: DataFrame,
+                      df_cap: int = JACCARD_DF_CAP,
+                      fb_cap: int = FB_BUCKET_CAP) -> DataFrame:
+    """(doc_id, shingle) blocking pairs for jaccard candidate generation:
+    every rare shingle (df <= df_cap), PLUS — for docs whose ENTIRE
+    shingle set is hot (a >df_cap-sized template/boilerplate cluster,
+    which rare-only blocking would silently drop, round-2 ADVICE) — the
+    doc's single lowest-df shingle as a fallback block key. The fallback
+    stream is per-doc-single-row and its buckets are capped at fb_cap
+    (audited by dedup_cap_metrics), so it can never go quadratic. The
+    hot dim (<= n_slots/df_cap rows) stays broadcastable."""
+    rare, _, _, fb = _jaccard_blocking_parts(documents, df_cap)
     return (rare.select("doc_id", "shingle")
-            .unionByName(fbc.select("doc_id", "shingle")))
+            .unionByName(fb.where(F.col("bn") <= fb_cap)
+                         .select("doc_id", "shingle")))
 
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.8,
@@ -329,25 +341,14 @@ def dedup_cap_metrics(documents: DataFrame, n_hashes: int = N_MINHASH,
         .alias("minhash_capped_buckets"),
         F.sum(F.when(F.col("n") > max_bucket, F.col("n") - max_bucket)
               .otherwise(0)).alias("minhash_dropped_doc_slots"))
-    hot = hot_shingles(documents, df_cap).agg(
+    # the audit consumes the SAME blocking construction as
+    # _jaccard_blocking (shared via _jaccard_blocking_parts)
+    _, hot_dim, hot_only, fb = _jaccard_blocking_parts(documents, df_cap)
+    hot = hot_dim.agg(
         F.count("*").alias("jaccard_hot_shingles_excluded"))
-    from pyspark.sql import Window
-    sh = shingles(documents)
-    hotdf = hot_shingles(documents, df_cap)
-    rare_docs = (sh.join(F.broadcast(hotdf.select("shingle")), "shingle",
-                         "left_anti").select("doc_id").distinct())
-    hot_only = (sh.select("doc_id").distinct()
-                .join(rare_docs, "doc_id", "left_anti"))
-    fbw = (Window.partitionBy("doc_id")
-           .orderBy(F.col("df").asc(), F.col("shingle").asc()))
-    fb = (sh.join(F.broadcast(hotdf), "shingle")
-          .join(hot_only, "doc_id", "left_semi")
-          .withColumn("rn", F.row_number().over(fbw))
-          .where(F.col("rn") == 1))
-    bw = Window.partitionBy("shingle").orderBy("doc_id")
-    fb_dropped = (fb.withColumn("bn", F.row_number().over(bw))
-                  .agg(F.sum(F.when(F.col("bn") > fb_cap, 1).otherwise(0))
-                       .alias("jaccard_fallback_dropped_docs")))
+    fb_dropped = fb.agg(
+        F.sum(F.when(F.col("bn") > fb_cap, 1).otherwise(0))
+        .alias("jaccard_fallback_dropped_docs"))
     ho = hot_only.agg(F.count("*").alias("jaccard_hot_only_docs"))
     m = mh.crossJoin(hot).crossJoin(ho).crossJoin(fb_dropped)
     cols = ["minhash_capped_buckets", "minhash_dropped_doc_slots",

@@ -7,10 +7,25 @@ mention. Spark shape: each strategy is ONE set-based join producing
 (occurrence, candidate, strategy, confidence); strategies are unioned,
 deduped keeping the best, ranked per occurrence with a total order.
 
-The fuzzy fallback (J8, reconcile.py:68-111) runs only for occurrences
-with no exact candidate (the reference's "<5 results" short-circuit,
-:319-333, as a cost optimization): candidate n-grams are blocked on
-(token count, length±1) and refined with the built-in levenshtein().
+The fuzzy fallback (J8, reconcile.py:68-111) follows the reference's
+"<5 results" short-circuit (:319-333) faithfully: it runs for every
+occurrence whose surface has FEWER THAN 5 exact candidates — including
+occurrences with 1-4 exact hits, whose fuzzy alternatives append AFTER
+the exact candidates in cascade order (the reference builds the result
+list strategy-by-strategy and seen_ids-dedupes, so fuzzy never relabels
+an exact candidate and never outranks one). Candidate n-grams are
+blocked on (token count, length±1) and refined with levenshtein().
+
+Historical-strategy adaptation (deliberate, round-3 ADVICE): the
+reference applies historical_name_match only when the CALLER passes
+context['historical'] (reconcile.py:299-303) — a per-request flag that
+does not exist in a batch corpus with no document-level dates. Here
+every exact alias hit on a historical place (PPLH/PPLQ/PPLW or
+dissolved_date) scores 0.9 instead of 0.7, so historical places CAN
+outrank live places for ambiguous surfaces; the alternative (never
+boosting) would make the strategy unreachable. The oracle and
+tests/test_mention_linking.py::test_historical_strategy_present_and_gated
+encode this adaptation in lockstep.
 """
 
 from __future__ import annotations
@@ -32,6 +47,8 @@ GENERIC_STOP = ["The", "In", "A", "At", "On", "Of", "An", "To"]
 STOP_DOC_RATIO = 0.02  # surfaces in >2% of docs are function language
 MAX_CANDIDATES_PER_OCC = 20   # reconcile.py:61-63 ORDER BY population LIMIT 20
 MAX_FUZZY_PER_GRAM = 5
+# reconcile.py:319-333: fuzzy runs while the mention has < 5 candidates
+FUZZY_MAX_SEEN = 5
 # historical_name_match (reconcile.py:197-235): historical feature codes
 # or a dissolution date mark a former place; strategy confidence 0.9
 # (reconcile.py:305-317)
@@ -102,7 +119,10 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
     # a broadcast dim AFTER the explode, keeping the shuffled reducer row
     # narrow — per-span collect_list heap/spill pressure was the measured
     # executor-mode scaling bottleneck (BENCH.md round-2 analysis).
-    null_t = ""  # null sentinel: eqNullSafe(a1) AND eqNullSafe(cc)
+    # null sentinel is "\x01" (cannot occur in admin codes), so a NULL
+    # code and an empty-string code stay DISTINCT and key equality ==
+    # pairwise eqNullSafe — matching the oracle's IS NOT DISTINCT FROM
+    null_t = ""
     adm_key = F.concat(F.coalesce(F.col("country_code"), F.lit(null_t)),
                        F.lit("|"),
                        F.coalesce(F.col("admin1_code"), F.lit(null_t)))
@@ -237,19 +257,36 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
 
 
 def fuzzy_candidates(grams: DataFrame, places: DataFrame,
-                     exact_mentions: DataFrame, max_dist: int = 1,
+                     exact_occs: DataFrame, max_dist: int = 1,
                      stop_surfaces: DataFrame | None = None) -> DataFrame:
-    """J8 fuzzy fallback for capitalized n-grams with no exact match.
+    """J8 fuzzy fallback under the reference's "<5 candidates" gate
+    (reconcile.py:319-333).
 
     Blocked equi-join on (token count, length in {L-1, L, L+1}) then
     levenshtein refine — replaces the reference's per-mention APOC scan.
     Confidence = 1 - dist/len (reconcile.py:102-104).
 
     `grams` is the shared capitalized gram stream (computed once in
-    link_mentions). Grams contained inside an already-matched exact
-    mention are excluded (else every sub-token of a multi-word match
-    fuzzy-matches lev-1 neighbours — measured 581 FPs at sf0.001).
+    link_mentions). `exact_occs` carries (OCC_KEYS, is_ctx_occ) for every
+    exact occurrence. Eligibility per occurrence:
+    - strictly contained in a longer exact mention -> never (sub-tokens
+      of a multi-word match are not mentions — 581 FPs at sf0.001);
+    - equal to an admin-CONTEXT occurrence -> never (context tokens are
+      not mentions);
+    - equal to a real exact mention -> only if its surface's alias
+      fan-out < FUZZY_MAX_SEEN; the fuzzy rows then append after the
+      exact candidates (rank_offset = fan-out), mirroring the
+      reference's cascade append + seen_ids order;
+    - no exact coverage -> always (0 candidates so far), rank_offset 0.
+    The candidate count per occurrence EQUALS its surface's alias-map
+    fan-out (the fan-out identity), so both the gate and the offset are
+    vocabulary-sized properties — no corpus-level counting.
+    seen_ids dedup (reconcile.py:288-297): a fuzzy hit whose gid is
+    already exact-visible for the same surface is dropped, so a gid
+    appears at most once per occurrence across branches.
     Short grams (<=5 chars) additionally require a matching first char.
+
+    Output adds `rank_offset` (int) for the caller's ranking step.
     """
     grams = (grams
              .where(F.col("gram").rlike("^[A-Z][a-z]"))
@@ -288,36 +325,64 @@ def fuzzy_candidates(grams: DataFrame, places: DataFrame,
         .withColumn("lev", F.levenshtein(F.col("gram_norm"),
                                          F.col("alias_norm")))
         .where((F.col("lev") > 0) & (F.col("lev") <= max_dist))
-        .select("gram", "n", "gram_len", "geoname_id", "lev")
+        .select("gram", "gram_norm", "n", "gram_len", "geoname_id", "lev")
         .distinct())
+    # exact-visible surfaces, restricted to the exact path's 2-60 char
+    # window (surfaces outside it never produce exact occurrences).
+    # dedup=False: anti-join dims tolerate duplicate keys, skipping the
+    # distinct exchange
+    seen = (alias_map(places, dedup=False)
+            .where(F.length("alias_norm").between(2, 60)))
+    # seen_ids dedup BEFORE the per-surface cap, so the capped 5 are all
+    # novel gids (a gid can be lev-1 from one alias while being exact
+    # under another alias of the same place)
+    hits = hits.join(F.broadcast(seen),
+                     (hits.gram_norm == seen.alias_norm)
+                     & (hits.geoname_id == seen.geoname_id),
+                     "left_anti")
     # bound lev-1 neighbourhood blow-ups (e.g. enumerated district/street
     # names differing in one digit): best few per distinct surface
     gw = (Window.partitionBy("gram", "n")
           .orderBy(F.col("lev").asc(), F.col("geoname_id").asc()))
     hits = (hits.withColumn("fr", F.row_number().over(gw))
-            .where(F.col("fr") <= MAX_FUZZY_PER_GRAM).drop("fr"))
+            .where(F.col("fr") <= MAX_FUZZY_PER_GRAM)
+            .select("gram", "n", "gram_len", "geoname_id", "lev"))
+    # alias fan-out dim: the <5 gate and the cascade rank offset.
+    # size(collect_set) over the NON-deduped map = ONE vocab-sized
+    # groupBy exchange with map-side partials (countDistinct would plan
+    # a two-exchange distinct-aggregate; sets are per-surface, tiny)
+    fan_dim = (seen.groupBy(F.col("alias_norm").alias("gram_norm"))
+               .agg(F.size(F.collect_set("geoname_id")).alias("fan")))
 
     # rejoin the vocabulary-sized hit table to occurrences map-side, THEN
-    # drop occurrences covered by an exact match (occurrence-level
-    # anti-join is ~10x smaller than gram-level)
-    occ_hits = grams.join(F.broadcast(hits), ["gram", "n"])
-    kept = (exact_mentions.select(
+    # apply the eligibility gate against exact occurrences
+    # (occurrence-level anti-join is ~10x smaller than gram-level)
+    occ_hits = (grams.join(F.broadcast(hits), ["gram", "n"])
+                .join(F.broadcast(fan_dim), "gram_norm", "left")
+                .withColumn("rank_offset",
+                            F.coalesce(F.col("fan"), F.lit(0)).cast("int")))
+    kept = (exact_occs.select(
         F.col("doc_id").alias("k_doc"), F.col("span_offset").alias("k_off"),
         F.col("start").alias("k_start"),
-        (F.col("start") + F.col("n")).alias("k_end")).distinct())
+        (F.col("start") + F.col("n")).alias("k_end"),
+        F.col("is_ctx_occ").alias("k_ctx")).distinct())
     occ_hits = occ_hits.join(
         kept,
         (F.col("doc_id") == F.col("k_doc"))
         & (F.col("span_offset") == F.col("k_off"))
         & (F.col("k_start") <= F.col("start"))
-        & (F.col("k_end") >= F.col("start") + F.col("n")),
+        & (F.col("k_end") >= F.col("start") + F.col("n"))
+        & ((F.col("k_end") - F.col("k_start") > F.col("n"))   # strictly longer
+           | F.col("k_ctx")                                   # context token
+           | (F.col("rank_offset") >= FUZZY_MAX_SEEN)),       # >=5 seen
         "left_anti")
     return occ_hits.select(
         *OCC_KEYS, F.col("gram").alias("mention_text"), "geoname_id",
         F.lit("fuzzy").alias("strategy"),
         F.round(1.0 - F.col("lev").cast("double") /
                 F.greatest(F.col("gram_len"), F.lit(1)).cast("double"),
-                4).alias("confidence"))
+                4).alias("confidence"),
+        "rank_offset")
 
 
 def link_mentions(documents: DataFrame, places: DataFrame,
@@ -342,10 +407,15 @@ def link_mentions(documents: DataFrame, places: DataFrame,
                           "strategy", "confidence", "population"))
 
     # Ranking runs PER BRANCH, with no occurrence repartition at all:
-    # - the exact and fuzzy branches are DISJOINT by occurrence (the
-    #   fuzzy anti-join suppresses every occurrence contained in an
-    #   exact match, and an equal range is contained), so a per-branch
-    #   top-k equals top-k over the union;
+    # - branches never collide on a rank slot: fuzzy rows carry a
+    #   rank_offset equal to the occurrence's exact-candidate count (its
+    #   surface's alias fan-out; 0 when no exact coverage), so fuzzy
+    #   ranks start where exact ranks end — the reference's cascade
+    #   append order (exact results first, fuzzy appended after,
+    #   reconcile.py:288-297,319-333) made exchange-free;
+    # - a gid appears at most once per occurrence across branches
+    #   (seen_ids anti-join inside fuzzy_candidates), so there is no
+    #   cross-branch pair dedup to do;
     # - within a branch, (occurrence, geoname_id) is already unique
     #   (distinct alias map / per-gram distinct + cap), so the old
     #   best-per-pair window was a no-op;
@@ -359,8 +429,11 @@ def link_mentions(documents: DataFrame, places: DataFrame,
              .orderBy(F.col("confidence").desc(), F.col("population").desc(),
                       F.col("geoname_id").asc()))
 
-    def rank(df: DataFrame) -> DataFrame:
-        return (df.withColumn("rank", F.row_number().over(occ_w))
+    def rank(df: DataFrame, offset=None) -> DataFrame:
+        r = F.row_number().over(occ_w)
+        if offset is not None:
+            r = (offset + r).cast("int")
+        return (df.withColumn("rank", r)
                 .where((F.col("rank") <= k)
                        & (F.col("confidence") >= min_confidence))
                 .select(*OCC_KEYS, "mention_text", "geoname_id", "strategy",
@@ -387,13 +460,14 @@ def link_mentions(documents: DataFrame, places: DataFrame,
             grams, n_docs if n_docs is not None else documents.count(),
             exempt_alias_norms=alias_map(places, dedup=False)
             .select("alias_norm"))
-        fz = (fuzzy_candidates(grams, places, exact_all.select(*OCC_KEYS),
+        fz = (fuzzy_candidates(grams, places,
+                               exact_all.select(*OCC_KEYS, "is_ctx_occ"),
                                stop_surfaces=stop)
               .join(F.broadcast(places.select("geoname_id", "population")),
                     "geoname_id")
               .select(*OCC_KEYS, "mention_text", "geoname_id", "strategy",
-                      "confidence", "population"))
-        out = out.unionByName(rank(fz))
+                      "confidence", "population", "rank_offset"))
+        out = out.unionByName(rank(fz, offset=F.col("rank_offset")))
     return out
 
 

@@ -27,7 +27,23 @@ class CheckpointStore:
         return os.path.join(self.root, stage)
 
     def exists(self, stage: str) -> bool:
+        self._recover(stage)
         return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
+
+    def _recover(self, stage: str) -> None:
+        """Crash recovery for merge_upsert's two-step promote: if a crash
+        landed between "move current aside" and "promote shadow", the
+        stage dir is missing but `<stage>__old` is intact — restore it so
+        a later merge_upsert never mistakes a delta for the full table."""
+        import shutil
+        for sub in ("", "_lineage", "_metrics"):
+            dst = os.path.join(self.root, sub, stage)
+            old = dst + "__old"
+            if os.path.exists(old):
+                if not os.path.exists(dst):
+                    os.replace(old, dst)
+                else:
+                    shutil.rmtree(old, ignore_errors=True)
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self.path(stage))
@@ -84,8 +100,14 @@ class CheckpointStore:
         key, unmatched existing rows are kept, new keys are inserted.
 
         Because the merge plan READS the stage it replaces, the result
-        is written to a shadow directory first and atomically swapped in
-        (an in-place overwrite would corrupt the lazy self-read)."""
+        is written to a shadow directory first and swapped in via two
+        atomic renames (current -> __old, shadow -> current); a crash
+        between them is healed by _recover() on the next exists() call,
+        so the merge never silently degrades to delta-only. Local-FS
+        os.replace is used because CheckpointStore's stage protocol is
+        path-based local parquet by design (module docstring: the
+        production target is Iceberg MERGE INTO, where the snapshot
+        commit replaces this dance entirely)."""
         import shutil
 
         spark = df.sparkSession
@@ -101,6 +123,10 @@ class CheckpointStore:
         for sub in ("", "_lineage", "_metrics"):
             src = os.path.join(self.root, sub, shadow)
             dst = os.path.join(self.root, sub, stage)
-            shutil.rmtree(dst, ignore_errors=True)
+            old = dst + "__old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(dst):
+                os.replace(dst, old)
             os.replace(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
         return self.read(spark, stage)

@@ -363,7 +363,9 @@ WITH spans AS (
          length(lower(gram)) AS gram_len
   FROM fgrams
 ), fhits AS (
-  SELECT DISTINCT d.gram, d.n, d.gram_len, a.geoname_id,
+  -- seen_ids dedup (reconcile.py:288-297): a fuzzy gid already
+  -- exact-visible under the same surface is dropped BEFORE the cap
+  SELECT DISTINCT d.gram, d.gram_norm, d.n, d.gram_len, a.geoname_id,
          levenshtein(d.gram_norm, a.alias_norm) AS lev
   FROM dsurf d
   JOIN (SELECT alias_norm, geoname_id,
@@ -374,45 +376,69 @@ WITH spans AS (
    AND (substr(d.gram_norm, 1, 1) = substr(a.alias_norm, 1, 1)
         OR substr(d.gram_norm, -1, 1) = substr(a.alias_norm, -1, 1))
   WHERE levenshtein(d.gram_norm, a.alias_norm) BETWEEN 1 AND 1
+    AND NOT EXISTS (SELECT 1 FROM aliases ax
+                    WHERE ax.alias_norm = d.gram_norm
+                      AND ax.geoname_id = a.geoname_id
+                      AND length(ax.alias_norm) BETWEEN 2 AND 60)
 ), fcap AS (
   SELECT * FROM (
     SELECT fh.*, row_number() OVER (PARTITION BY gram, n
         ORDER BY lev ASC, geoname_id ASC) AS fr FROM fhits fh)
   WHERE fr <= 5
+), fanout AS (
+  SELECT alias_norm, count(*) AS fan FROM aliases
+  WHERE length(alias_norm) BETWEEN 2 AND 60 GROUP BY alias_norm
+), ctxocc AS (
+  SELECT DISTINCT doc_id, span_offset, start, n FROM scored1 WHERE is_ctx_occ
 ), focc AS (
   SELECT f.doc_id, f.span_offset, f.start, f.n, f.gram,
-         c.geoname_id, c.lev, c.gram_len
+         c.geoname_id, c.lev, c.gram_len,
+         CAST(coalesce(fn.fan, 0) AS INTEGER) AS rank_offset
   FROM fgrams f JOIN fcap c USING (gram, n)
+  LEFT JOIN fanout fn ON fn.alias_norm = lower(f.gram)
 ), fanti AS (
+  -- "<5 candidates" gate (reconcile.py:319-333): drop if covered by a
+  -- strictly longer exact mention, equal to a context occurrence, or
+  -- equal to an exact mention whose surface has >= 5 candidates
   SELECT fo.* FROM focc fo
   WHERE NOT EXISTS (
     SELECT 1 FROM keptocc k
     WHERE k.doc_id = fo.doc_id AND k.span_offset = fo.span_offset
-      AND k.start <= fo.start AND k.start + k.n >= fo.start + fo.n)
+      AND k.start <= fo.start AND k.start + k.n >= fo.start + fo.n
+      AND (k.n > fo.n
+           OR fo.rank_offset >= 5
+           OR EXISTS (SELECT 1 FROM ctxocc c
+                      WHERE c.doc_id = fo.doc_id
+                        AND c.span_offset = fo.span_offset
+                        AND c.start = fo.start AND c.n = fo.n)))
 ), fz AS (
   SELECT fa.doc_id, fa.span_offset, fa.start, fa.n,
          fa.gram AS mention_text, fa.geoname_id,
          'fuzzy' AS strategy,
          round(1.0 - CAST(fa.lev AS DOUBLE)
                / greatest(fa.gram_len, 1), 4) AS confidence,
-         p.population
+         p.population, fa.rank_offset
   FROM fanti fa
   JOIN read_parquet('{_sp("places")}') p USING (geoname_id)
-), allc AS (
-  SELECT * FROM exact UNION ALL SELECT * FROM fz
-), best AS (
-  SELECT * FROM (
-    SELECT a.*, row_number() OVER (
-        PARTITION BY doc_id, span_offset, start, n, geoname_id
-        ORDER BY confidence DESC, strategy ASC) AS pr FROM allc a)
-  WHERE pr = 1
-), ranked AS (
+), exact_ranked AS (
   SELECT doc_id, span_offset, start, n, mention_text, geoname_id,
          strategy, confidence,
          row_number() OVER (PARTITION BY doc_id, span_offset, start, n
              ORDER BY confidence DESC, population DESC, geoname_id ASC)
            AS rank
-  FROM best
+  FROM exact
+), fz_ranked AS (
+  -- cascade append order: fuzzy ranks start after the occurrence's
+  -- exact-candidate count (= its surface's alias fan-out)
+  SELECT doc_id, span_offset, start, n, mention_text, geoname_id,
+         strategy, confidence,
+         rank_offset + row_number() OVER (
+             PARTITION BY doc_id, span_offset, start, n
+             ORDER BY confidence DESC, population DESC, geoname_id ASC)
+           AS rank
+  FROM fz
+), ranked AS (
+  SELECT * FROM exact_ranked UNION ALL SELECT * FROM fz_ranked
 )
 SELECT doc_id, span_offset, start, n, mention_text, geoname_id, strategy,
        confidence, CAST(rank AS INTEGER) AS rank

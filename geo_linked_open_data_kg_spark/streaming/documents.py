@@ -47,15 +47,29 @@ def stream_detect_mentions(doc_stream: DataFrame, places: DataFrame,
 
     Valid because detection is per-document (broadcast alias map, spans
     never cross documents) — batch(all docs) == union of batch(drops).
-    The file source's offset log gives exactly-once per input file.
+
+    End-to-end exactly-once, not just source-side: the file source's
+    offset log dedupes input files, and the sink write is IDEMPOTENT per
+    micro-batch — each batch dynamic-partition-overwrites its own
+    `_batch_id=<n>` partition, so a batch retried after a crash between
+    the sink write and the offset-log commit replaces its own partition
+    instead of appending duplicates (a blind mode('append') here would
+    only be at-least-once). Batch ids keep increasing across restarts of
+    the same checkpoint, so partitions never collide across runs.
+    Readers drop the `_batch_id` partition column.
     """
     from geo_linked_open_data_kg_spark.operators.mentions import (
         detect_mentions,
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
         (detect_mentions(batch_df, places)
-         .write.mode("append").parquet(out_path))
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(out_path))
 
     writer = (doc_stream.writeStream
               .foreachBatch(process)

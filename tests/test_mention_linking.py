@@ -105,3 +105,30 @@ def test_historical_strategy_present_and_gated(data):
         ~F.col("feature_code").isin("PPLH", "PPLQ", "PPLW")
         & F.col("dissolved_date").isNull())
     assert hist.join(not_hist_places, "geoname_id", "left_semi").count() == 0
+
+
+def test_fuzzy_count_gate_cascade_order(data):
+    """reconcile.py:319-333 fidelity: fuzzy runs for occurrences with
+    FEWER THAN 5 exact candidates (not only zero), and its candidates
+    append AFTER the exact ones in cascade order — every fuzzy rank for
+    a mixed occurrence exceeds every exact rank, no gid repeats within
+    an occurrence (seen_ids), and no occurrence with >=5 exact
+    candidates has fuzzy rows."""
+    _, _, _, linked = data
+    occ = linked.groupBy("doc_id", "span_offset", "start", "n").agg(
+        F.sum(F.when(F.col("strategy") == "fuzzy", 1).otherwise(0))
+        .alias("nf"),
+        F.sum(F.when(F.col("strategy") != "fuzzy", 1).otherwise(0))
+        .alias("ne"),
+        F.min(F.when(F.col("strategy") == "fuzzy", F.col("rank")))
+        .alias("min_fr"),
+        F.max(F.when(F.col("strategy") != "fuzzy", F.col("rank")))
+        .alias("max_er"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("geoname_id").alias("n_gids"))
+    both = occ.where((F.col("nf") > 0) & (F.col("ne") > 0)).cache()
+    assert both.count() > 0, "count-based gate is vacuous on fixtures"
+    assert both.where(F.col("min_fr") <= F.col("max_er")).count() == 0
+    assert occ.where((F.col("ne") >= 5) & (F.col("nf") > 0)).count() == 0
+    # seen_ids: a gid appears at most once per occurrence across branches
+    assert occ.where(F.col("n_gids") != F.col("n_rows")).count() == 0

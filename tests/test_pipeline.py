@@ -112,6 +112,15 @@ def test_merge_upsert_incremental_document_update(spark):
         assert got_df.count() == got_df.distinct().count()
         m = spark.read.parquet(f"{d}/_metrics/lm")
         assert {r["stage"] for r in m.collect()} == {"lm"}
+
+        # crash-recovery: simulate dying between "move current aside" and
+        # "promote shadow" — stage dir gone, __old intact. exists() must
+        # heal it so the next merge never treats a delta as full table.
+        import os
+        n_before = store.read(spark, "lm").count()
+        os.replace(f"{d}/lm", f"{d}/lm__old")
+        assert store.exists("lm")
+        assert store.read(spark, "lm").count() == n_before
     finally:
         import shutil as sh
         sh.rmtree(d, ignore_errors=True)

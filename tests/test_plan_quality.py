@@ -39,8 +39,9 @@ def test_spatial_join_is_single_exchange_with_broadcast_dims(spark):
 def test_column_pruning_reaches_scan(spark):
     plan = _plan(q.agg_places_by_country(spark, SF_DIR))
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert m and m.group(1) == "country_code:string", \
-        f"scan should read only country_code, got {m and m.group(1)}"
+    assert m and m.group(1) == "country_code:string,admin1_code:string", \
+        f"scan should read only the two aggregated columns, got " \
+        f"{m and m.group(1)}"
 
 
 def test_filter_pushdown_reaches_scan(spark):

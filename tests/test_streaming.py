@@ -274,6 +274,11 @@ def test_stream_mention_detection_matches_batch(spark, tmpdir):
     stream_detect_mentions(read_documents_stream(spark, src), places,
                            out, f"{tmpdir}/ck_docs")
 
-    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    sink = spark.read.parquet(out)
+    got = {tuple(r) for r in sink.drop("_batch_id").collect()}
     want = {tuple(r) for r in detect_mentions(docs, places).collect()}
     assert got == want and len(got) > 0
+    # idempotent sink: one partition per micro-batch, ids distinct across
+    # the two availableNow runs (a retried batch would overwrite its own
+    # partition, not append)
+    assert sink.select("_batch_id").distinct().count() >= 2
