@@ -313,6 +313,51 @@ def embedding_near_dups(embeddings: DataFrame, hyperplanes: DataFrame,
             .select("id_a", "id_b", "cos"))
 
 
+def duplicate_groups(documents: DataFrame) -> DataFrame:
+    """Near-duplicate GROUPS with keeper selection — the deliverable a
+    corpus dedup actually ships (the pair lists are intermediates; at
+    100 TB nobody consumes pairs). Union of the three near-dup pair
+    generators (minhash-LSH, banded SimHash, blocked n-gram Jaccard),
+    connected components over the pair graph
+    (canonicalize.connected_components — dup components are stars/short
+    chains, so 2-4 label-propagation rounds), then one keeper per group:
+    max quality_scores quality, tie-break min doc_id. Reference analog:
+    MERGE-key dedup + duplicate accounting
+    (scripts/loaders/load_post_offices.py:76-100).
+
+    Output: (group_id, doc_id, is_keeper, n_members); group_id = min
+    member doc_id. Scale shape: pair generation is bucketed (never
+    all-pairs), CC shuffles only the pair graph (tiny vs the corpus),
+    keeper selection is one window over group-partitioned members."""
+    from pyspark.sql import Window
+
+    from geo_linked_open_data_kg_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        quality_scores,
+    )
+    pairs = (minhash_lsh_pairs(documents).select("doc_a", "doc_b")
+             .unionByName(
+                 simhash_banded_pairs(documents).select("doc_a", "doc_b"))
+             .unionByName(
+                 ngram_jaccard_pairs(documents).select("doc_a", "doc_b")))
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    q = quality_scores(documents).select("doc_id", "quality")
+    members = (cc.select(F.col("component").alias("group_id"),
+                         F.col("node").alias("doc_id"))
+               .join(q, "doc_id", "left"))
+    kw = (Window.partitionBy("group_id")
+          .orderBy(F.col("quality").desc_nulls_last(),
+                   F.col("doc_id").asc()))
+    gw = Window.partitionBy("group_id")
+    return (members
+            .withColumn("rn", F.row_number().over(kw))
+            .select("group_id", "doc_id",
+                    (F.col("rn") == 1).alias("is_keeper"),
+                    F.count("*").over(gw).alias("n_members")))
+
+
 def dedup_cap_metrics(documents: DataFrame, n_hashes: int = N_MINHASH,
                       n_bands: int = N_BANDS, max_bucket: int = 50,
                       df_cap: int = JACCARD_DF_CAP,

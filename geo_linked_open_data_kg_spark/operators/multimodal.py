@@ -99,6 +99,84 @@ def sample_frames(features: DataFrame, max_frames: int = 4) -> DataFrame:
                     .alias("frame_hash")))
 
 
+PHASH_CONTENT_CHARS = 3       # md5 prefix length = simulated content group
+MEDIA_NEAR_DUP_BUCKET_CAP = 50
+
+
+def frame_phashes(documents: DataFrame, max_frames: int = 4) -> DataFrame:
+    """(media_ref, frame_idx, phash) over sampled frames of each DISTINCT
+    asset, with a deterministic perceptual-hash STUB (same container
+    limitation as _fake_decode): assets whose md5(media_ref) shares its
+    first PHASH_CONTENT_CHARS hex chars simulate re-uploads of the same
+    content (identical phash stream per frame index); assets whose next
+    md5 char is an odd hex digit flip their frame-0 phash to a unique
+    value (a near-identical VARIANT, so downstream pairs are genuinely
+    near — not exact — duplicates). Swap the phash expression for a real
+    pHash over decoded frames; the banded join downstream is unchanged.
+    """
+    assets = decode_stub(media_refs(documents))
+    h = F.md5(F.col("media_ref"))
+    stride = F.greatest(
+        F.ceil(F.col("fake_n_frames") / F.lit(float(max_frames)))
+        .cast("int"), F.lit(1))
+    idxs = F.sequence(F.lit(0), F.col("fake_n_frames") - 1, stride)
+    fr = assets.select(
+        "media_ref",
+        F.substring(h, 1, PHASH_CONTENT_CHARS).alias("ck"),
+        F.substring(h, PHASH_CONTENT_CHARS + 1, 1)
+        .isin(*"13579bdf").alias("variant"),
+        F.explode(idxs).alias("frame_idx"))
+    phash = (F.when(F.col("variant") & (F.col("frame_idx") == 0),
+                    F.md5(F.concat(F.col("media_ref"), F.lit(":v0"))))
+             .otherwise(F.md5(F.concat(F.col("ck"), F.lit(":"),
+                                       F.col("frame_idx").cast("string")))))
+    return fr.select("media_ref",
+                     F.col("frame_idx").cast("int").alias("frame_idx"),
+                     phash.alias("phash"))
+
+
+def media_near_dups(documents: DataFrame, threshold: float = 0.5,
+                    max_frames: int = 4,
+                    bucket_cap: int = MEDIA_NEAR_DUP_BUCKET_CAP
+                    ) -> DataFrame:
+    """Asset-level near-duplicate pairs from sampled-frame perceptual
+    hashes through the banded-LSH shape (the multimodal dedup story):
+    band = one sampled frame slot, bucket = its phash — two assets are
+    candidates iff they share a phash bucket (capped at bucket_cap,
+    deterministic by media_ref, so a viral asset cannot go quadratic);
+    verify = exact Jaccard over the two assets' full phash sets >=
+    threshold. Candidates only ever materialize within buckets — never
+    the all-pairs join. Output: (ref_a, ref_b, frame_jaccard)."""
+    from pyspark.sql import Window
+    ph = frame_phashes(documents, max_frames)
+    sizes = ph.groupBy("media_ref").agg(F.count("*").alias("n_ph"))
+    bw = Window.partitionBy("phash").orderBy("media_ref")
+    capped = (ph.withColumn("bn", F.row_number().over(bw))
+              .where(F.col("bn") <= bucket_cap))
+    a = capped.select(F.col("media_ref").alias("ref_a"), "phash")
+    b = capped.select(F.col("media_ref").alias("ref_b"), "phash")
+    cand = (a.join(b, "phash")
+            .where(F.col("ref_a") < F.col("ref_b"))
+            .select("ref_a", "ref_b").distinct())
+    pa = ph.select(F.col("media_ref").alias("ref_a"), "phash")
+    pb = ph.select(F.col("media_ref").alias("ref_b"),
+                   F.col("phash").alias("phash_b"))
+    inter = (cand.join(pa, "ref_a").join(pb, "ref_b")
+             .where(F.col("phash") == F.col("phash_b"))
+             .groupBy("ref_a", "ref_b").agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col("media_ref").alias("ref_a"),
+                               F.col("n_ph").alias("n_a")), "ref_a")
+            .join(sizes.select(F.col("media_ref").alias("ref_b"),
+                               F.col("n_ph").alias("n_b")), "ref_b")
+            .withColumn("frame_jaccard",
+                        F.round(F.col("n_inter").cast("double")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("n_inter")), 4))
+            .where(F.col("frame_jaccard") >= threshold)
+            .select("ref_a", "ref_b", "frame_jaccard"))
+
+
 def media_features(documents: DataFrame) -> DataFrame:
     """Per-span media metadata: media spans joined back to their decoded
     asset features. (doc_id, span_offset, media_ref, fake_width, ...)."""

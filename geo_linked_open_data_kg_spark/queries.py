@@ -1301,6 +1301,7 @@ def td_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_banded_pairs(_aug_documents(spark, sf_dir))
 
 
+
 _BANDED_SIG_SQL = """
 sig AS (
   SELECT e.vec_id,
@@ -1507,6 +1508,63 @@ def td_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(docs).join(token_counts(docs), "doc_id")
 
 
+_DUP_QUALITY_PART = f"""
+  SELECT doc_id,
+         floor((0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+               + 0.3 * least(({_SW_RATIO_SQL.format(words=_sw_list('en'))})
+                             * 5.0, 1.0)
+               + 0.3 * (1.0 - least(
+                     (CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                           AS DOUBLE) / greatest(length(text), 1)) * 10.0,
+                     1.0))) * 10000) / 10000 AS quality
+  FROM aug
+"""
+
+
+def _dup_groups_oracle() -> str:
+    """Pairs from the three near-dup oracles -> recursive-CTE connected
+    components -> keeper by (quality DESC, doc_id ASC)."""
+    return f"""
+WITH RECURSIVE {_AUG_SQL.lstrip()},
+pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLES["td_minhash_lsh_pairs"]})
+  UNION
+  SELECT doc_a, doc_b FROM ({ORACLES["td_simhash_banded_pairs"]})
+  UNION
+  SELECT doc_a, doc_b FROM ({ORACLES["td_ngram_jaccard_pairs"]})
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE doc_a <> doc_b
+  UNION SELECT doc_b, doc_a FROM pairs WHERE doc_a <> doc_b
+), reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, re.r FROM reach re JOIN sym s ON s.a = re.node
+), comp AS (
+  SELECT node, min(r) AS group_id FROM reach GROUP BY node
+), q AS (
+{_DUP_QUALITY_PART}
+), ranked AS (
+  SELECT c.group_id, c.node AS doc_id,
+         row_number() OVER (PARTITION BY c.group_id
+             ORDER BY q.quality DESC NULLS LAST, c.node ASC) AS rn,
+         count(*) OVER (PARTITION BY c.group_id) AS n_members
+  FROM comp c LEFT JOIN q ON q.doc_id = c.node
+)
+SELECT group_id, doc_id, (rn = 1) AS is_keeper, n_members FROM ranked
+"""
+
+
+@register("td_dup_groups", None)
+def td_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_linked_open_data_kg_spark.operators.dedup import (
+        duplicate_groups,
+    )
+    return duplicate_groups(_aug_documents(spark, sf_dir))
+
+
+ORACLES["td_dup_groups"] = _dup_groups_oracle()
+
+
 _LANGID_UNION = "\nUNION ALL\n".join(
     f"SELECT doc_id, '{lang}' AS lang, "
     f"round({_SW_RATIO_SQL.format(words='{W' + lang + '}')}, 6) AS ratio "
@@ -1604,6 +1662,65 @@ def td_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sample_frames(media_features(load(spark, sf_dir,
                                              "geo_documents")))
+
+
+@register("td_media_near_dups", f"""
+WITH m AS (
+  SELECT DISTINCT s.media_ref AS media_ref
+  FROM (SELECT unnest(spans) AS s
+        FROM read_parquet('{_sp("geo_documents")}'))
+  WHERE s.kind = 'media'
+), strided AS (
+  SELECT media_ref,
+         CAST(1 + CAST(('0x' || substr(md5(media_ref), 5, 1)) AS BIGINT)
+              AS INTEGER) AS n_frames,
+         greatest(CAST(ceil((1 + CAST(('0x' || substr(md5(media_ref), 5, 1))
+                                      AS BIGINT)) / 4.0) AS INTEGER), 1)
+           AS stride
+  FROM m
+), ph AS (
+  SELECT media_ref,
+         CASE WHEN strpos('13579bdf', substr(md5(media_ref), 4, 1)) > 0
+                   AND u.i = 0
+              THEN md5(media_ref || ':v0')
+              ELSE md5(substr(md5(media_ref), 1, 3) || ':'
+                       || CAST(u.i AS VARCHAR)) END AS phash
+  FROM strided
+  CROSS JOIN LATERAL unnest(generate_series(0, n_frames - 1, stride)) u(i)
+), sizes AS (
+  SELECT media_ref, count(*) AS n_ph FROM ph GROUP BY media_ref
+), capped AS (
+  SELECT media_ref, phash FROM (
+    SELECT *, row_number() OVER (PARTITION BY phash
+                                 ORDER BY media_ref) AS bn FROM ph)
+  WHERE bn <= 50
+), cand AS (
+  SELECT DISTINCT a.media_ref AS ref_a, b.media_ref AS ref_b
+  FROM capped a JOIN capped b USING (phash)
+  WHERE a.media_ref < b.media_ref
+), inter AS (
+  SELECT c.ref_a, c.ref_b, count(*) AS n_inter
+  FROM cand c
+  JOIN ph pa ON pa.media_ref = c.ref_a
+  JOIN ph pb ON pb.media_ref = c.ref_b AND pb.phash = pa.phash
+  GROUP BY c.ref_a, c.ref_b
+)
+SELECT i.ref_a, i.ref_b,
+       round(CAST(n_inter AS DOUBLE)
+             / (sa.n_ph + sb.n_ph - n_inter), 4) AS frame_jaccard
+FROM inter i
+JOIN sizes sa ON sa.media_ref = i.ref_a
+JOIN sizes sb ON sb.media_ref = i.ref_b
+WHERE round(CAST(n_inter AS DOUBLE)
+            / (sa.n_ph + sb.n_ph - n_inter), 4) >= 0.5
+""")
+def td_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level multimodal dedup: sampled-frame phashes through the
+    banded-LSH near-dup shape (VERDICT r3 item 8)."""
+    from geo_linked_open_data_kg_spark.operators.multimodal import (
+        media_near_dups,
+    )
+    return media_near_dups(load(spark, sf_dir, "geo_documents"))
 
 
 # --------------------------------------------------- events / windows ------
