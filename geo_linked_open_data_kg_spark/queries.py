@@ -1565,28 +1565,43 @@ def td_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["td_dup_groups"] = _dup_groups_oracle()
 
 
-_LANGID_UNION = "\nUNION ALL\n".join(
-    f"SELECT doc_id, '{lang}' AS lang, "
-    f"round({_SW_RATIO_SQL.format(words='{W' + lang + '}')}, 6) AS ratio "
-    "FROM documents" for lang in ("en", "es", "de", "fr"))
+def _profile_values() -> str:
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        TRIGRAM_PROFILES,
+    )
+    return ",\n  ".join(f"('{lg}', '{t}', {w})"
+                        for lg, t, w in TRIGRAM_PROFILES)
 
 
 @register("td_language_id", f"""
-WITH ratios AS (
-  {_LANGID_UNION}
-), ranked AS (
-  SELECT doc_id, lang, ratio,
-         row_number() OVER (PARTITION BY doc_id
-                            ORDER BY ratio DESC, lang DESC) AS rn
-  FROM ratios
+WITH base AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' '
+           AS tx
+  FROM documents
+), b2 AS (
+  SELECT doc_id, tx, greatest(length(tx) - 2, 1) AS n_tri FROM base
+), tri AS (
+  SELECT doc_id, n_tri, substr(tx, CAST(u.i AS INTEGER), 3) AS tri
+  FROM b2 CROSS JOIN LATERAL unnest(generate_series(1, n_tri)) u(i)
+), prof(lang, tri, w) AS (VALUES
+  {_profile_values()}
+), scores AS (
+  SELECT doc_id, lang, sum(w) AS hit_w, min(n_tri) AS n_tri
+  FROM tri JOIN prof USING (tri) GROUP BY doc_id, lang
+), best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY hit_w DESC, lang ASC) AS rn FROM scores) WHERE rn = 1
 )
-SELECT doc_id,
-       CASE WHEN ratio > 0 THEN lang ELSE 'und' END AS pred_lang,
-       ratio AS best_ratio
-FROM ranked WHERE rn = 1
-""".replace("{Wen}", _sw_list("en")).replace("{Wes}", _sw_list("es"))
-   .replace("{Wde}", _sw_list("de")).replace("{Wfr}", _sw_list("fr")))
+SELECT b.doc_id, coalesce(best.lang, 'und') AS pred_lang,
+       round(CAST(coalesce(best.hit_w, 0) AS DOUBLE)
+             / (60.0 * b.n_tri), 6) AS best_ratio
+FROM b2 b LEFT JOIN best ON best.doc_id = b.doc_id
+""")
 def td_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID (6 languages, broadcast profile
+    join + map-side partial aggregation; textstats.language_id)."""
     from geo_linked_open_data_kg_spark.operators.textstats import language_id
     return language_id(load(spark, sf_dir, "documents"))
 

@@ -162,3 +162,34 @@ def test_duplicate_groups_keeper_selection(spark):
     # doc 4 is longest -> highest len_score -> keeper; others not
     keepers = [d for d, r in got.items() if r["is_keeper"]]
     assert keepers == [4], got
+
+
+def test_trigram_language_id_on_real_sentences(spark):
+    """The char-trigram profiles must classify natural sentences in all
+    six supported languages and pick the dominant language of a mixed
+    document — the capability stopword-argmax lacked (VERDICT r3 #6)."""
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        language_id,
+    )
+    rows = [
+        (1, "the history of the town and its people is told in the "
+            "records that were kept by the clerk"),
+        (2, "la historia de la ciudad y de sus habitantes se cuenta en "
+            "los registros que el escribano guardaba para el archivo"),
+        (3, "die geschichte der stadt und der menschen wird in den "
+            "akten erzaehlt die der schreiber mit sorgfalt gefuehrt hat"),
+        (4, "l'histoire de la ville et de ses habitants est racontee "
+            "dans les registres que le greffier gardait pour les archives"),
+        (5, "la storia della citta e dei suoi abitanti viene raccontata "
+            "nei registri che il cancelliere custodiva con cura"),
+        (6, "de geschiedenis van de stad en haar mensen wordt verteld "
+            "in de registers die de klerk met zorg heeft bewaard"),
+        # mixed: two English clauses, one short Spanish tail -> en
+        (7, "the records of the town were kept for many years by the "
+            "clerk of the county en la ciudad"),
+        (8, "zzz qqq xxx"),  # no profile hits -> und
+    ]
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in language_id(_docs(spark, rows)).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "it", 6: "nl",
+                   7: "en", 8: "und"}, got
