@@ -385,11 +385,27 @@ def fuzzy_candidates(grams: DataFrame, places: DataFrame,
         "rank_offset")
 
 
+def snapshot_stop_surfaces(documents: DataFrame, places: DataFrame,
+                           n_docs: int | None = None) -> DataFrame:
+    """Derive the fuzzy stoplist from a corpus SNAPSHOT, for pinning via
+    link_mentions(stop_surfaces=...) — the frozen corpus-level state of
+    the incremental linking stream."""
+    from geo_linked_open_data_kg_spark.operators.mentions import (
+        capitalized_ngram_candidates,
+    )
+    grams = capitalized_ngram_candidates(text_spans(documents))
+    return corpus_stop_surfaces(
+        grams, n_docs if n_docs is not None else documents.count(),
+        exempt_alias_norms=alias_map(places, dedup=False)
+        .select("alias_norm"))
+
+
 def link_mentions(documents: DataFrame, places: DataFrame,
                   k: int = 10, min_confidence: float = 0.5,
                   with_fuzzy: bool = True,
                   broadcast_aliases: bool = True,
-                  n_docs: int | None = None) -> DataFrame:
+                  n_docs: int | None = None,
+                  stop_surfaces: DataFrame | None = None) -> DataFrame:
     """Full stage-1+2: detect, contextualize, score, fuzzy-fallback, rank.
 
     Output: (doc_id, span_offset, start, n, mention_text, geoname_id,
@@ -399,6 +415,14 @@ def link_mentions(documents: DataFrame, places: DataFrame,
     `n_docs` (stoplist denominator) can be passed by callers that know
     it: counting `documents` here would execute every upstream transform
     (e.g. the pipeline's corpus repartition) just to count rows.
+
+    `stop_surfaces` pins the fuzzy stoplist to a caller-provided snapshot
+    (one `gram` column) instead of deriving it from `documents` — the
+    corpus-level state freeze that makes incremental streaming linking
+    batch-equivalent (streaming.documents.stream_link_mentions): the
+    stoplist is the ONLY cross-document statistic in the cascade, so with
+    it pinned, linking is per-document and drop order cannot change any
+    result.
     """
     exact_all = scored_exact_candidates(documents, places,
                                         broadcast_aliases=broadcast_aliases)
@@ -456,10 +480,13 @@ def link_mentions(documents: DataFrame, places: DataFrame,
                  .localCheckpoint(eager=False))
         # exemption dim built WITHOUT the distinct: anti-join keys may
         # repeat, and skipping the dedup keeps this branch exchange-free
-        stop = corpus_stop_surfaces(
-            grams, n_docs if n_docs is not None else documents.count(),
-            exempt_alias_norms=alias_map(places, dedup=False)
-            .select("alias_norm"))
+        if stop_surfaces is not None:
+            stop = stop_surfaces
+        else:
+            stop = corpus_stop_surfaces(
+                grams, n_docs if n_docs is not None else documents.count(),
+                exempt_alias_norms=alias_map(places, dedup=False)
+                .select("alias_norm"))
         fz = (fuzzy_candidates(grams, places,
                                exact_all.select(*OCC_KEYS, "is_ctx_occ"),
                                stop_surfaces=stop)

@@ -80,3 +80,51 @@ def stream_detect_mentions(doc_stream: DataFrame, places: DataFrame,
     if available_now:
         q.awaitTermination(timeout_sec)
     return q
+
+
+def stream_link_mentions(doc_stream: DataFrame, places: DataFrame,
+                         stop_surfaces: DataFrame, out_path: str,
+                         checkpoint_dir: str,
+                         available_now: bool = True,
+                         timeout_sec: int = 600):
+    """Incremental stage-1+2: each micro-batch of documents runs the FULL
+    scored linking cascade (exact / admin / geo / historical / fuzzy with
+    the count-based gate) and writes to an idempotent per-batch-partition
+    parquet sink.
+
+    Snapshot semantics (the corpus-level state freeze): the fuzzy
+    stoplist is the cascade's only cross-document statistic, so it is
+    PINNED to `stop_surfaces` — derived once from a corpus snapshot at
+    stream start (operators.linking.snapshot_stop_surfaces) — and new
+    drops do NOT retroactively change it. With the stoplist pinned,
+    linking is per-document (broadcast alias map, vocabulary-level fuzzy
+    dims, per-occurrence ranking), so batch(all docs) == union of
+    batch(drops) exactly; refresh the snapshot by restarting the stream
+    with a re-derived stoplist when corpus drift warrants it. The
+    gazetteer (`places`) is likewise a frozen dimension for the stream's
+    lifetime."""
+    from geo_linked_open_data_kg_spark.operators.linking import (
+        link_mentions,
+    )
+    # one eager materialization: the stoplist must not be recomputed
+    # (or worse, recomputed over a GROWN corpus) per micro-batch
+    pinned = stop_surfaces.localCheckpoint(eager=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+        (link_mentions(batch_df, places, stop_surfaces=pinned)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(out_path))
+
+    writer = (doc_stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination(timeout_sec)
+    return q

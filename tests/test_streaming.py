@@ -282,3 +282,57 @@ def test_stream_mention_detection_matches_batch(spark, tmpdir):
     # the two availableNow runs (a retried batch would overwrite its own
     # partition, not append)
     assert sink.select("_batch_id").distinct().count() >= 2
+
+
+def test_stream_linking_cascade_matches_batch_with_pinned_stoplist(
+        spark, tmpdir):
+    """Incremental LINKING (VERDICT r3 item 5): two document drops
+    through the full scored cascade with the stoplist snapshotted at
+    stream start must equal one batch run over the full corpus with the
+    same pinned stoplist — the snapshot freeze makes linking
+    per-document, so drop order cannot change any candidate, score, or
+    rank."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geo_linked_open_data_kg_spark.operators.linking import (
+        link_mentions,
+        snapshot_stop_surfaces,
+    )
+    from geo_linked_open_data_kg_spark.sources.registry import load
+    from geo_linked_open_data_kg_spark.streaming.documents import (
+        read_documents_stream,
+        stream_link_mentions,
+    )
+
+    docs = load(spark, SF_DIR, "geo_documents")
+    places = load(spark, SF_DIR, "places").cache()
+    stop = snapshot_stop_surfaces(docs, places).cache()
+    half_a = docs.where(F.crc32(F.col("doc_id")) % 2 == 0)
+    half_b = docs.where(F.crc32(F.col("doc_id")) % 2 == 1)
+
+    src = f"{tmpdir}/docs_link_stream"
+    out = f"{tmpdir}/linked_out"
+    os.makedirs(src, exist_ok=True)
+
+    def drop(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/{name}")
+        import glob
+        import shutil as sh
+        part = glob.glob(f"{tmpdir}/{name}/part-*.parquet")[0]
+        sh.move(part, f"{src}/{name}.parquet")
+        sh.rmtree(f"{tmpdir}/{name}")
+
+    drop(half_a, "ldrop_a")
+    stream_link_mentions(read_documents_stream(spark, src), places, stop,
+                         out, f"{tmpdir}/ck_link")
+    drop(half_b, "ldrop_b")
+    stream_link_mentions(read_documents_stream(spark, src), places, stop,
+                         out, f"{tmpdir}/ck_link")
+
+    got = {tuple(r) for r in
+           spark.read.parquet(out).drop("_batch_id").collect()}
+    want = {tuple(r) for r in
+            link_mentions(docs, places, stop_surfaces=stop).collect()}
+    assert got == want and len(got) > 0
