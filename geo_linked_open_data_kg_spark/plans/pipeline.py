@@ -38,8 +38,18 @@ TRIPLE_COLS = ["subj", "pred", "obj", "confidence", "evidence"]
 
 def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                  doc_partitions: int | None = None,
-                 force: bool = False) -> dict[str, DataFrame]:
-    """Run (or resume) the full pipeline; returns the stage outputs."""
+                 force: bool = False,
+                 corpus_clustered: bool = False) -> dict[str, DataFrame]:
+    """Run (or resume) the full pipeline; returns the stage outputs.
+
+    `corpus_clustered=True` skips the initial corpus repartition for
+    sources already laid out clustered by doc_id (an Iceberg table
+    bucketed/sorted on doc_id, or a re-ingested checkpoint written with
+    partitionBy semantics): plain parquet carries no clustering metadata
+    Catalyst could trust, so the caller asserts it. At 100 TB this saves
+    the single largest shuffle in the job; with the flag off, the one
+    corpus exchange is shared across every downstream consumer
+    (ReuseExchange + subset distribution satisfaction)."""
     ckpt = CheckpointStore(out_dir)
     # match the shuffle-partition count so the reused corpus clustering
     # carries the same parallelism as every downstream exchange
@@ -60,7 +70,8 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     # WITHOUT further corpus-wide exchanges — one shuffle of the corpus
     # total, reused across DAG branches (ReuseExchange)
     raw_docs = load(spark, sf_dir, "geo_documents")
-    docs = raw_docs.repartition(n_part, F.col("doc_id"))
+    docs = (raw_docs if corpus_clustered
+            else raw_docs.repartition(n_part, F.col("doc_id")))
     fprio = load(spark, sf_dir, "feature_priority")
     wprio = load(spark, sf_dir, "wd_type_priority")
 
