@@ -177,6 +177,29 @@ def media_near_dups(documents: DataFrame, threshold: float = 0.5,
             .select("ref_a", "ref_b", "frame_jaccard"))
 
 
+def media_cap_metrics(documents: DataFrame,
+                      bucket_cap: int = MEDIA_NEAR_DUP_BUCKET_CAP,
+                      max_frames: int = 4) -> DataFrame:
+    """Audit of media_near_dups' phash bucket cap (the module's only
+    recall-bounding cap — 'no silent caps' invariant, same contract as
+    dedup.dedup_cap_metrics): how many phash buckets hit bucket_cap and
+    how many asset slots the cap dropped. (metric, value)."""
+    sizes = (frame_phashes(documents, max_frames)
+             .groupBy("phash").agg(F.count("*").alias("n")))
+    agg = sizes.agg(
+        F.sum(F.when(F.col("n") > bucket_cap, 1).otherwise(0))
+        .alias("media_capped_phash_buckets"),
+        F.sum(F.when(F.col("n") > bucket_cap, F.col("n") - bucket_cap)
+              .otherwise(0)).alias("media_dropped_asset_slots"))
+    out = None
+    for c in ("media_capped_phash_buckets", "media_dropped_asset_slots"):
+        one = agg.select(F.lit(c).alias("metric"),
+                         F.coalesce(F.col(c), F.lit(0)).cast("long")
+                         .alias("value"))
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
 def media_features(documents: DataFrame) -> DataFrame:
     """Per-span media metadata: media spans joined back to their decoded
     asset features. (doc_id, span_offset, media_ref, fake_width, ...)."""

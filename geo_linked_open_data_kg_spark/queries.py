@@ -1375,12 +1375,49 @@ UNION ALL
 SELECT 'jaccard_fallback_dropped_docs',
        CAST((SELECT count(*) FROM fb) - (SELECT count(*) FROM fbc)
             AS BIGINT)
-""")
+UNION ALL
+SELECT 'media_capped_phash_buckets',
+       CAST(coalesce(sum(CASE WHEN n > 50 THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM (SELECT phash, count(*) AS n FROM ({{MEDIA_PH}}) GROUP BY phash)
+UNION ALL
+SELECT 'media_dropped_asset_slots',
+       CAST(coalesce(sum(CASE WHEN n > 50 THEN n - 50 ELSE 0 END), 0)
+            AS BIGINT)
+FROM (SELECT phash, count(*) AS n FROM ({{MEDIA_PH}}) GROUP BY phash)
+""".replace("{MEDIA_PH}", f"""
+  WITH m AS (
+    SELECT DISTINCT s.media_ref AS media_ref
+    FROM (SELECT unnest(spans) AS s
+          FROM read_parquet('{_sp("geo_documents")}'))
+    WHERE s.kind = 'media'
+  ), strided AS (
+    SELECT media_ref,
+           CAST(1 + CAST(('0x' || substr(md5(media_ref), 5, 1)) AS BIGINT)
+                AS INTEGER) AS n_frames,
+           greatest(CAST(ceil((1 + CAST(('0x' || substr(md5(media_ref), 5,
+                                         1)) AS BIGINT)) / 4.0)
+                         AS INTEGER), 1) AS stride
+    FROM m
+  )
+  SELECT media_ref,
+         CASE WHEN strpos('13579bdf', substr(md5(media_ref), 4, 1)) > 0
+                   AND u.i = 0
+              THEN md5(media_ref || ':v0')
+              ELSE md5(substr(md5(media_ref), 1, 3) || ':'
+                       || CAST(u.i AS VARCHAR)) END AS phash
+  FROM strided
+  CROSS JOIN LATERAL unnest(generate_series(0, n_frames - 1, stride)) u(i)
+"""))
 def td_dedup_cap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No-silent-caps audit: every recall-bounding cap in the dedup
-    module reported as a metric row."""
+    """No-silent-caps audit: every recall-bounding cap in the dedup AND
+    media near-dup modules reported as a metric row."""
     from geo_linked_open_data_kg_spark.operators.dedup import dedup_cap_metrics
-    return dedup_cap_metrics(_aug_documents(spark, sf_dir))
+    from geo_linked_open_data_kg_spark.operators.multimodal import (
+        media_cap_metrics,
+    )
+    return (dedup_cap_metrics(_aug_documents(spark, sf_dir))
+            .unionByName(media_cap_metrics(
+                load(spark, sf_dir, "geo_documents"))))
 
 
 # -------------------------------------------------- similarity search ------

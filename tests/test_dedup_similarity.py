@@ -110,7 +110,9 @@ def test_dedup_cap_metrics_shape(spark):
                          "minhash_dropped_doc_slots",
                          "jaccard_hot_shingles_excluded",
                          "jaccard_hot_only_docs",
-                         "jaccard_fallback_dropped_docs"}
+                         "jaccard_fallback_dropped_docs",
+                         "media_capped_phash_buckets",
+                         "media_dropped_asset_slots"}
     assert all(v >= 0 for v in rows.values())
 
 
