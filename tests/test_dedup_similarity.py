@@ -195,3 +195,36 @@ def test_trigram_language_id_on_real_sentences(spark):
            for r in language_id(_docs(spark, rows)).collect()}
     assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "it", 6: "nl",
                    7: "en", 8: "und"}, got
+
+
+def test_ann_ivf_recall_and_cell_pruning(spark):
+    """IVF coarse-quantizer ANN (the cell-pruned scale path): recall
+    >=0.7 of brute top-5 at n_probe=4 of 16 cells, strictly better than
+    chance scanning ~25% of the corpus; no cartesian in the plan; every
+    vector lands in exactly one cell (the inverted index partitions the
+    corpus)."""
+    from geo_linked_open_data_kg_spark.operators.similarity import (
+        ann_brute_topk,
+        ann_ivf_topk,
+        ivf_assign,
+        kmeans_centroids,
+    )
+    from geo_linked_open_data_kg_spark.sources.registry import load
+
+    emb = load(spark, SF_DIR, "embeddings").cache()
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in ann_brute_topk(emb).collect()}
+    cents = kmeans_centroids(emb, n_centroids=16)
+    ivf_df = ann_ivf_topk(emb, n_probe=4, cents=cents)
+    plan = ivf_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_df.collect()}
+    assert len(ivf) > 0
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.7, f"IVF recall {recall:.2f} < 0.7 vs brute"
+    # inverted index: total assignment rows == corpus rows (one cell per
+    # vector), >1 cell populated (the quantizer actually partitions)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.select("cid").distinct().count() > 1
