@@ -86,3 +86,25 @@ def test_pipeline_cascade_per_span_groupby_elides_exchange(spark):
     keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert not any("span_offset" in k for k in keys), \
         f"per-span groupBy re-shuffled a clustered corpus: {keys}"
+
+
+def test_clustered_cascade_exchange_budget(spark):
+    """The pipeline path (corpus already repartitioned by the doc_id
+    COLUMN) must keep the round-4 exchange budget: the surface-stats
+    per-doc groupBy and the per-span groupBy both reuse the corpus
+    clustering, so the cascade holds at <= 9 exchanges and none of the
+    remaining exchanges re-shuffles the corpus by doc_id alone."""
+    from pyspark.sql import functions as F
+
+    from geo_linked_open_data_kg_spark.operators.linking import link_mentions
+    from geo_linked_open_data_kg_spark.sources.registry import load
+    docs = (load(spark, SF_DIR, "geo_documents")
+            .repartition(8, F.col("doc_id")))
+    plan = _plan(link_mentions(docs, load(spark, SF_DIR, "places"),
+                               n_docs=480))
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 9, \
+        f"clustered cascade regressed to {n_ex} exchanges (budget 9)"
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert not any(k.count(",") == 1 and k.startswith("doc_id") for k in keys), \
+        f"corpus re-shuffled by doc_id alone: {keys}"
