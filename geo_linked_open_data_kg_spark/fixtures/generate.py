@@ -377,11 +377,12 @@ def augment_places_adm4(places: dict) -> None:
     previously pinned admin4_code=None so level 4 could never be
     exercised or oracled. ~50% of ADM3 units gain 1-2 ADM4 child units
     (appended rows, feature_class 'A'), and ~40% of populated places
-    under a covered ADM3 get the admin4_code of one child. Fresh rng
+    under a covered ADM3 get the admin4_code of one child (an in-place
+    mutation of admin4_code, which was previously all-None). Fresh rng
     (SEED+11); new rows append AFTER all existing ids and this runs
     before augment_places_historical (which draws rng only for
-    feature_class 'P' rows), so every pre-existing column stays
-    byte-identical."""
+    feature_class 'P' rows), so every pre-existing column EXCEPT
+    admin4_code stays byte-identical."""
     rng = np.random.default_rng(SEED + 11)
     n = len(places["geoname_id"])
     adm3_units = [
@@ -689,15 +690,55 @@ def write_sf(out_dir: str, sf: str) -> None:
                             pa.list_(pa.float64()))}),
         f"{out_dir}/hyperplanes.parquet")
 
+    write_centroids(out_dir, sf)
+
+
+def write_centroids(out_dir: str, sf: str) -> None:
+    """IVF coarse-quantizer centroids over the DRIVER embeddings table,
+    persisted as a fixture (the `hyperplanes` pattern) so BOTH the Spark
+    ann_ivf_topk path and its DuckDB oracle read the identical doubles
+    (round-4 VERDICT item 2: train-side float summation is engine-
+    dependent, so the trained centroids must be data, not computation).
+
+    Deterministic spherical k-means in numpy float64: init = the 16
+    lowest vec_ids' vectors, 2 Lloyd iterations of cosine-argmax
+    assignment + unnormalized cell means."""
+    emb_path = f"/root/testdata/sf{sf}/embeddings.parquet"
+    if not os.path.exists(emb_path):
+        return  # no driver embeddings at this sf — nothing to quantize
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    vid = np.asarray(t["vec_id"].to_pylist())
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    emb = emb[np.argsort(vid)]
+    k = 16
+    cents = emb[:k].copy()
+    for _ in range(2):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        assign = np.argmax(en @ cn.T, axis=1)
+        for c in range(k):
+            members = emb[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    pq.write_table(pa.table({
+        "cid": pa.array(range(k), pa.int32()),
+        "weights": pa.array([list(map(float, row)) for row in cents],
+                            pa.list_(pa.float64()))}),
+        f"{out_dir}/kmeans_centroids.parquet")
+
 
 SYNTH_ROOT = "/root/repo/synthdata"
 
 
 def ensure_synth(sf: str) -> str:
-    """Idempotent: generate synthdata/sf{sf} if missing, return the dir."""
+    """Idempotent: generate synthdata/sf{sf} if missing, return the dir.
+    Fixture tables added after a dir was first generated (kmeans
+    centroids, round 5) are backfilled individually."""
     out = f"{SYNTH_ROOT}/sf{sf}"
     if not os.path.exists(f"{out}/places.parquet"):
         write_sf(out, sf)
+    elif not os.path.exists(f"{out}/kmeans_centroids.parquet"):
+        write_centroids(out, sf)
     return out
 
 

@@ -82,12 +82,16 @@ def located_in_country(places: DataFrame, country_qids: DataFrame | None = None)
                     F.lit("country_code").alias("evidence")))
 
 
-def admin_triples(places: DataFrame) -> DataFrame:
-    """All admin-hierarchy triples in one pass (union of levels)."""
-    parts = [located_in_admin(places, 1), located_in_admin(places, 2),
-             located_in_admin(places, 3), located_in_admin(places, 4),
-             part_of(places, 2), part_of(places, 3), part_of(places, 4),
-             located_in_country(places)]
+def admin_triples(places: DataFrame, max_level: int = 4) -> DataFrame:
+    """All admin-hierarchy triples in one pass (union of levels).
+
+    `max_level` bounds the deepest ADM level emitted (default 4, the
+    full reference hierarchy); max_level=3 reproduces the round-3 edge
+    set for the bench A/B's like-for-like comparison."""
+    parts = ([located_in_admin(places, lvl)
+              for lvl in range(1, max_level + 1)]
+             + [part_of(places, lvl) for lvl in range(2, max_level + 1)]
+             + [located_in_country(places)])
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -95,11 +99,16 @@ def admin_triples(places: DataFrame) -> DataFrame:
 
 
 def hierarchy_closure(places: DataFrame) -> DataFrame:
-    """J15: bounded *1..3 hierarchy walk (README.md:107-111) as 3 explicit
-    joins — place -> ADM3? -> ADM2? -> ADM1, emitting the admin name path.
+    """J15: bounded *1..4 hierarchy walk as explicit joins — place ->
+    ADM4? -> ADM3? -> ADM2? -> ADM1, emitting the admin name path. The
+    reference README.md:107-111 documents the *1..3 Cypher walk, but the
+    graph carries LOCATED_IN_ADMIN4 edges too (README.md:54-59,
+    add_admin3_links.py:60-115), so the closure walks level 4 as well
+    (round-4 VERDICT item 5: a 3-level walk under-reports one level in
+    exactly the UK/DE/FR-shaped countries where ADM4 exists).
 
-    Returns (geoname_id, name, admin_path string 'adm1>adm2>adm3' with
-    missing levels skipped).
+    Returns (geoname_id, name, admin_path string 'adm1>adm2>adm3>adm4'
+    with missing levels skipped).
     """
     p = places.where(F.col("feature_class") != "A")
     a1 = _adm(places, "ADM1").select(
@@ -112,15 +121,22 @@ def hierarchy_closure(places: DataFrame) -> DataFrame:
         F.col("country_code").alias("cc3"), F.col("admin1_code").alias("c31"),
         F.col("admin2_code").alias("c32"), F.col("admin3_code").alias("c33"),
         F.col("name").alias("adm3_name"))
+    a4 = _adm(places, "ADM4").select(
+        F.col("country_code").alias("cc4"), F.col("admin1_code").alias("c41"),
+        F.col("admin2_code").alias("c42"), F.col("admin3_code").alias("c43"),
+        F.col("admin4_code").alias("c44"), F.col("name").alias("adm4_name"))
     out = (
         p.join(a1, (p.country_code == a1.cc1) & (p.admin1_code == a1.c1), "left")
          .join(a2, (p.country_code == a2.cc2) & (p.admin1_code == a2.c21)
                & (p.admin2_code == a2.c22), "left")
          .join(a3, (p.country_code == a3.cc3) & (p.admin1_code == a3.c31)
                & (p.admin2_code == a3.c32) & (p.admin3_code == a3.c33), "left")
+         .join(a4, (p.country_code == a4.cc4) & (p.admin1_code == a4.c41)
+               & (p.admin2_code == a4.c42) & (p.admin3_code == a4.c43)
+               & (p.admin4_code == a4.c44), "left")
     )
     return out.select(
         "geoname_id", "name",
         F.concat_ws(">", F.col("adm1_name"), F.col("adm2_name"),
-                    F.col("adm3_name")).alias("admin_path"),
+                    F.col("adm3_name"), F.col("adm4_name")).alias("admin_path"),
         F.col("country_code").alias("country_code"))

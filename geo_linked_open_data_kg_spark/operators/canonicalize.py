@@ -20,11 +20,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# stats of the most recent connected_components run in this process:
+# {"rounds_run": int, "converged": bool}. The pipeline copies them into
+# the stage _metrics table — max_iter must never truncate SILENTLY
+# (round-4 VERDICT item 6: "no silent caps" applies to iteration caps
+# too, now that duplicate_groups feeds CC less-bounded-diameter graphs).
+LAST_CC_STATS: dict = {}
+
 
 def connected_components(edges: DataFrame, src: str = "subj",
-                         dst: str = "obj", max_iter: int = 25) -> DataFrame:
+                         dst: str = "obj", max_iter: int = 25,
+                         strict: bool = True) -> DataFrame:
     """(node, component) with component = lexicographic min node id
-    reachable in the undirected graph."""
+    reachable in the undirected graph.
+
+    Min-label propagation converges in O(diameter) rounds — fine for
+    linking components (stars/chains, 2-4 rounds). For deeper graphs
+    (duplicate_groups template-cluster chains) a pointer-jumping step
+    (labels re-mapped through their component's OWN label, the
+    path-halving idea) kicks in after round 3, making convergence
+    O(log diameter) without taxing the common shallow case. If the
+    graph still hasn't converged at max_iter, raise (strict=True) —
+    never silently return partial components; strict=False records
+    converged=False in LAST_CC_STATS instead for callers that audit."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .where(F.col("a") != F.col("b"))
@@ -36,6 +54,8 @@ def connected_components(edges: DataFrame, src: str = "subj",
               .withColumn("component", F.col("node"))
               .localCheckpoint())
 
+    converged = False
+    rounds_run = 0
     for it in range(max_iter):
         # component candidates arriving over edges
         msgs = (sym.join(labels, sym.a == labels.node)
@@ -43,10 +63,24 @@ def connected_components(edges: DataFrame, src: str = "subj",
                         F.col("component")))
         new_labels = (labels.select("node", "component").unionByName(msgs)
                       .groupBy("node")
-                      .agg(F.min("component").alias("component"))
-                      .localCheckpoint())
+                      .agg(F.min("component").alias("component")))
+        if it >= 3:
+            # pointer jumping: follow the label one extra hop (component
+            # is itself a node, so it has a label). Each round then
+            # roughly doubles propagation distance — a diameter-d chain
+            # finishes in ~3 + log2(d) rounds instead of d.
+            comp = new_labels.select(F.col("node").alias("c_node"),
+                                     F.col("component").alias("c_comp"))
+            new_labels = (new_labels
+                          .join(comp,
+                                new_labels.component == comp.c_node, "left")
+                          .select("node",
+                                  F.coalesce("c_comp", "component")
+                                  .alias("component")))
+        new_labels = new_labels.localCheckpoint()
         old = labels
         labels = new_labels
+        rounds_run = it + 1
         # entity-linking components are stars/short chains: round 1 always
         # changes labels, so skip that convergence action (each check is a
         # full extra job — pure serial latency)
@@ -57,7 +91,15 @@ def connected_components(edges: DataFrame, src: str = "subj",
                    .where(F.col("component") != F.col("old_component"))
                    .limit(1).count())
         if changed == 0:
+            converged = True
             break
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS.update({"rounds_run": rounds_run, "converged": converged})
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds the iteration budget); raise "
+            "max_iter or pass strict=False to audit via LAST_CC_STATS")
     return labels
 
 

@@ -31,11 +31,20 @@ class CheckpointStore:
         return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
 
     def _recover(self, stage: str) -> None:
-        """Crash recovery for merge_upsert's two-step promote: if a crash
-        landed between "move current aside" and "promote shadow", the
-        stage dir is missing but `<stage>__old` is intact — restore it so
-        a later merge_upsert never mistakes a delta for the full table."""
+        """Crash recovery for merge_upsert's promote. The promote is a
+        two-phase commit over the three stage subs (data, _lineage,
+        _metrics): a `<stage>__commit` marker is created atomically
+        AFTER all shadows are written and removed after all swaps — so a
+        crash anywhere leaves either no marker (roll BACK: restore any
+        half-swapped sub from `__old`, discard uncommitted shadows) or
+        the marker (roll FORWARD: finish every remaining swap). Either
+        way data, lineage and metrics always describe the SAME snapshot
+        (round-4 ADVICE: the old per-sub swap could strand lineage and
+        data on different merges)."""
         import shutil
+        if os.path.exists(self._marker(stage)):
+            self._promote(stage)
+            return
         for sub in ("", "_lineage", "_metrics"):
             dst = os.path.join(self.root, sub, stage)
             old = dst + "__old"
@@ -44,17 +53,45 @@ class CheckpointStore:
                     os.replace(old, dst)
                 else:
                     shutil.rmtree(old, ignore_errors=True)
+            # a shadow without the commit marker is an uncommitted merge
+            shutil.rmtree(os.path.join(self.root, sub,
+                                       f"{stage}__merge_tmp"),
+                          ignore_errors=True)
+
+    def _marker(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}__commit")
+
+    def _promote(self, stage: str) -> None:
+        """Swap every written shadow sub into place, then clear the
+        commit marker. Idempotent: a sub whose shadow is already gone
+        was swapped before the crash and is skipped."""
+        import shutil
+        for sub in ("", "_lineage", "_metrics"):
+            src = os.path.join(self.root, sub, f"{stage}__merge_tmp")
+            dst = os.path.join(self.root, sub, stage)
+            old = dst + "__old"
+            if os.path.exists(src):
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.exists(dst):
+                    os.replace(dst, old)
+                os.replace(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
+        os.remove(self._marker(stage))
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self.path(stage))
 
     def write(self, df: DataFrame, stage: str,
               partition_by: list[str] | None = None,
-              label: str | None = None) -> DataFrame:
+              label: str | None = None,
+              extra_metrics: list[tuple[str, int]] | None = None
+              ) -> DataFrame:
         """Write stage output + lineage (per-partition row counts) +
         metrics (total rows, and triple counts per pred if present).
         `label` overrides the stage name recorded IN lineage/metrics rows
-        (used by merge_upsert's shadow write)."""
+        (used by merge_upsert's shadow write). `extra_metrics` appends
+        caller-supplied (metric, value) rows — e.g. the CC convergence
+        audit (canonicalize.LAST_CC_STATS)."""
         label = label or stage
         w = df.write.mode("overwrite")
         if partition_by:
@@ -80,16 +117,28 @@ class CheckpointStore:
                                          F.col("pred")).alias("metric"),
                                 F.col("value")))
             metrics = metrics.unionByName(per_pred)
+        if extra_metrics:
+            extra = spark.createDataFrame(
+                [(label, m, int(v)) for m, v in extra_metrics],
+                "stage string, metric string, value long")
+            metrics = metrics.unionByName(extra)
         metrics.write.mode("overwrite").parquet(
             os.path.join(self.root, "_metrics", stage))
         return out
 
     def get_or_compute(self, spark: SparkSession, stage: str, compute,
                        partition_by: list[str] | None = None,
-                       force: bool = False) -> DataFrame:
+                       force: bool = False,
+                       extra_metrics_fn=None) -> DataFrame:
+        """`extra_metrics_fn` (no-arg -> [(metric, value), ...]) is
+        invoked AFTER compute() so it can report stats of the
+        computation itself (e.g. CC rounds); skipped on checkpoint
+        reuse, when nothing was computed."""
         if not force and self.exists(stage):
             return self.read(spark, stage)
-        return self.write(compute(), stage, partition_by)
+        df = compute()
+        extra = extra_metrics_fn() if extra_metrics_fn is not None else None
+        return self.write(df, stage, partition_by, extra_metrics=extra)
 
     def merge_upsert(self, df: DataFrame, stage: str, keys: list[str],
                      partition_by: list[str] | None = None) -> DataFrame:
@@ -100,16 +149,18 @@ class CheckpointStore:
         key, unmatched existing rows are kept, new keys are inserted.
 
         Because the merge plan READS the stage it replaces, the result
-        is written to a shadow directory first and swapped in via two
-        atomic renames (current -> __old, shadow -> current); a crash
-        between them is healed by _recover() on the next exists() call,
-        so the merge never silently degrades to delta-only. Local-FS
-        os.replace is used because CheckpointStore's stage protocol is
-        path-based local parquet by design (module docstring: the
-        production target is Iceberg MERGE INTO, where the snapshot
-        commit replaces this dance entirely)."""
-        import shutil
-
+        is written to a shadow directory first and swapped in via a
+        marker-fenced two-phase promote: all three shadow subs (data,
+        _lineage, _metrics) are written, a `<stage>__commit` marker is
+        created (the commit point), every sub is swapped
+        (current -> __old, shadow -> current), the marker is removed.
+        _recover() on the next exists() call rolls an interrupted
+        promote FORWARD past the marker and BACK before it, so the
+        three subs can never straddle two merges. Local-FS os.replace
+        is used because CheckpointStore's stage protocol is path-based
+        local parquet by design (module docstring: the production
+        target is Iceberg MERGE INTO, where the snapshot commit
+        replaces this dance entirely)."""
         spark = df.sparkSession
         if self.exists(stage):
             changed = df.select(*keys).distinct()
@@ -120,13 +171,7 @@ class CheckpointStore:
             merged = df
         shadow = f"{stage}__merge_tmp"
         self.write(merged, shadow, partition_by, label=stage)
-        for sub in ("", "_lineage", "_metrics"):
-            src = os.path.join(self.root, sub, shadow)
-            dst = os.path.join(self.root, sub, stage)
-            old = dst + "__old"
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.exists(dst):
-                os.replace(dst, old)
-            os.replace(src, dst)
-            shutil.rmtree(old, ignore_errors=True)
+        with open(self._marker(stage), "w") as fh:
+            fh.write("promote\n")
+        self._promote(stage)
         return self.read(spark, stage)

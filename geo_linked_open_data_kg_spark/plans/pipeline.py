@@ -39,7 +39,9 @@ TRIPLE_COLS = ["subj", "pred", "obj", "confidence", "evidence"]
 def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                  doc_partitions: int | None = None,
                  force: bool = False,
-                 corpus_clustered: bool = False) -> dict[str, DataFrame]:
+                 corpus_clustered: bool = False,
+                 fuzzy_max_seen: int | None = None,
+                 max_adm_level: int = 4) -> dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns the stage outputs.
 
     `corpus_clustered=True` skips the initial corpus repartition for
@@ -49,7 +51,12 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     Catalyst could trust, so the caller asserts it. At 100 TB this saves
     the single largest shuffle in the job; with the flag off, the one
     corpus exchange is shared across every downstream consumer
-    (ReuseExchange + subset distribution satisfaction)."""
+    (ReuseExchange + subset distribution satisfaction).
+    `fuzzy_max_seen` / `max_adm_level` exist for the bench A/B only
+    (round-4 VERDICT item 1): fuzzy_max_seen=1 restricts the fuzzy gate
+    to the round-3 zero-exact behaviour and max_adm_level=3 drops the
+    ADM4 edge family, isolating the marginal cost of the round-4
+    additions. Production and oracles use the defaults."""
     ckpt = CheckpointStore(out_dir)
     # match the shuffle-partition count so the reused corpus clustering
     # carries the same parallelism as every downstream exchange
@@ -79,8 +86,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         spark, "linked_mentions",
         # n_docs from the raw scan (row-group stats count) — counting
         # the repartitioned df would run the corpus exchange twice
-        lambda: linking.link_mentions(docs, places,
-                                      n_docs=raw_docs.count()),
+        lambda: linking.link_mentions(
+            docs, places, n_docs=raw_docs.count(),
+            fuzzy_max_seen=(fuzzy_max_seen if fuzzy_max_seen is not None
+                            else linking.FUZZY_MAX_SEEN)),
         force=force)
 
     mention_t = ckpt.get_or_compute(
@@ -93,7 +102,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         # 106-221) — all rewritten through canonicalization downstream
         fams = [
             direct_link.direct_id_links(wd, places),
-            admin.admin_triples(places),
+            admin.admin_triples(places, max_level=max_adm_level),
             spatial.promote_near_to_same_as(
                 spatial.spatial_links(wd, places, fprio, wprio)),
             biography.born_in(persons, wd),
@@ -115,13 +124,23 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     gaz_triples = ckpt.get_or_compute(
         spark, "gazetteer_triples", _gaz, force=force)
 
+    from geo_linked_open_data_kg_spark.operators import canonicalize
+
     canon = ckpt.get_or_compute(
         spark, "canonical_triples",
         lambda: rewrite_triples(
             gaz_triples.unionByName(mention_t.select(*TRIPLE_COLS)),
             canonical_mapping(
                 gaz_triples.where(F.col("pred") == "sameAs"))),
-        force=force)
+        force=force,
+        # CC convergence audit rows (canonicalize runs eagerly inside
+        # compute(), so LAST_CC_STATS is final here): max_iter must
+        # never truncate silently — queryable via _metrics
+        extra_metrics_fn=lambda: [
+            ("cc_rounds_run",
+             canonicalize.LAST_CC_STATS.get("rounds_run", -1)),
+            ("cc_converged",
+             int(canonicalize.LAST_CC_STATS.get("converged", False)))])
 
     nodes = ckpt.get_or_compute(
         spark, "nodes",

@@ -115,7 +115,7 @@ def kg_admin_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("kg_hierarchy_closure", f"""
 SELECT p.geoname_id, p.name,
-       concat_ws('>', a1.name, a2.name, a3.name) AS admin_path,
+       concat_ws('>', a1.name, a2.name, a3.name, a4.name) AS admin_path,
        p.country_code
 FROM read_parquet('{_sp("places")}') p
 LEFT JOIN read_parquet('{_sp("places")}') a1
@@ -128,6 +128,10 @@ LEFT JOIN read_parquet('{_sp("places")}') a3
   ON a3.feature_code='ADM3' AND p.country_code=a3.country_code
  AND p.admin1_code=a3.admin1_code AND p.admin2_code=a3.admin2_code
  AND p.admin3_code=a3.admin3_code
+LEFT JOIN read_parquet('{_sp("places")}') a4
+  ON a4.feature_code='ADM4' AND p.country_code=a4.country_code
+ AND p.admin1_code=a4.admin1_code AND p.admin2_code=a4.admin2_code
+ AND p.admin3_code=a4.admin3_code AND p.admin4_code=a4.admin4_code
 WHERE p.feature_class <> 'A'
 """)
 def kg_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1610,17 +1614,63 @@ def _profile_values() -> str:
                         for lg, t, w in TRIGRAM_PROFILES)
 
 
+def _script_sql_parts() -> tuple[str, str, str, str]:
+    """(sample VALUES, count columns, s_lang CASE, s_num CASE) — built
+    from the SAME constants the Spark operator uses (textstats
+    SCRIPT_RANGES / SCRIPT_SAMPLE_DOCS), so engine and oracle cannot
+    drift. The range patterns embed literal unicode endpoints, valid in
+    both Java regex and RE2."""
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        SCRIPT_RANGES,
+        SCRIPT_SAMPLE_DOCS,
+    )
+    vals = ",\n    ".join(f"(CAST({i} AS BIGINT), '{t}')"
+                          for i, t in SCRIPT_SAMPLE_DOCS)
+    cols = ",\n         ".join(
+        f"len(regexp_extract_all(tx, '{p}')) AS c_{k}"
+        for k, p in SCRIPT_RANGES.items())
+    branches = [
+        ("c_hangul > 0 AND c_hangul*2 >= nn", "'ko'", "c_hangul"),
+        ("(c_hiragana + c_katakana) > 0 AND "
+         "(c_han + c_hiragana + c_katakana)*2 >= nn", "'ja'",
+         "c_han + c_hiragana + c_katakana"),
+        ("c_han > 0 AND c_han*2 >= nn", "'zh'", "c_han"),
+        ("c_cyrillic > 0 AND c_cyrillic*2 >= nn", "'ru'", "c_cyrillic"),
+        ("c_arabic > 0 AND c_arabic*2 >= nn", "'ar'", "c_arabic"),
+        ("c_greek > 0 AND c_greek*2 >= nn", "'el'", "c_greek"),
+    ]
+    s_lang = ("CASE " + " ".join(f"WHEN {c} THEN {lg}"
+                                 for c, lg, _ in branches) + " END")
+    s_num = ("CASE " + " ".join(f"WHEN {c} THEN {n}"
+                                for c, _, n in branches) + " END")
+    return vals, cols, s_lang, s_num
+
+
+_LANG_VALS, _LANG_COLS, _LANG_SLANG, _LANG_SNUM = _script_sql_parts()
+
+
 @register("td_language_id", f"""
-WITH base AS (
+WITH lang_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {_LANG_VALS}) v(doc_id, text)
+), base AS (
   SELECT doc_id,
          ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' '
            AS tx
-  FROM documents
+  FROM lang_docs
 ), b2 AS (
-  SELECT doc_id, tx, greatest(length(tx) - 2, 1) AS n_tri FROM base
+  SELECT doc_id, tx, greatest(length(tx) - 2, 1) AS n_tri,
+         length(replace(tx, ' ', '')) AS nn,
+         {_LANG_COLS}
+  FROM base
+), sc AS (
+  SELECT *, {_LANG_SLANG} AS s_lang, {_LANG_SNUM} AS s_num FROM b2
 ), tri AS (
   SELECT doc_id, n_tri, substr(tx, CAST(u.i AS INTEGER), 3) AS tri
-  FROM b2 CROSS JOIN LATERAL unnest(generate_series(1, n_tri)) u(i)
+  FROM sc CROSS JOIN LATERAL unnest(generate_series(1, n_tri)) u(i)
+  WHERE s_lang IS NULL
 ), prof(lang, tri, w) AS (VALUES
   {_profile_values()}
 ), scores AS (
@@ -1631,16 +1681,28 @@ WITH base AS (
     SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY hit_w DESC, lang ASC) AS rn FROM scores) WHERE rn = 1
 )
-SELECT b.doc_id, coalesce(best.lang, 'und') AS pred_lang,
-       round(CAST(coalesce(best.hit_w, 0) AS DOUBLE)
-             / (60.0 * b.n_tri), 6) AS best_ratio
-FROM b2 b LEFT JOIN best ON best.doc_id = b.doc_id
+SELECT b.doc_id, coalesce(b.s_lang, best.lang, 'und') AS pred_lang,
+       round(CASE WHEN b.s_lang IS NOT NULL
+                  THEN CAST(b.s_num AS DOUBLE) / greatest(b.nn, 1)
+                  ELSE CAST(coalesce(best.hit_w, 0) AS DOUBLE)
+                       / (60.0 * b.n_tri) END, 6) AS best_ratio
+FROM sc b LEFT JOIN best ON best.doc_id = b.doc_id
 """)
 def td_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-trigram-profile language ID (6 languages, broadcast profile
-    join + map-side partial aggregation; textstats.language_id)."""
-    from geo_linked_open_data_kg_spark.operators.textstats import language_id
-    return language_id(load(spark, sf_dir, "documents"))
+    """Script-aware language ID (round-5): Unicode script-range counts
+    decide CJK/Cyrillic/Arabic/Greek docs (pure Column, integer-exact);
+    Latin-script docs take the char-trigram-profile argmax (broadcast
+    profile join + map-side partial aggregation). Driver docs are ASCII,
+    so deterministic non-Latin sample docs are union'd on BOTH sides
+    (textstats.SCRIPT_SAMPLE_DOCS) to keep the script path non-vacuous."""
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        SCRIPT_SAMPLE_DOCS,
+        language_id,
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(SCRIPT_SAMPLE_DOCS,
+                                  "doc_id long, text string")
+    return language_id(docs.unionByName(extra))
 
 
 @register("td_fingerprints", """

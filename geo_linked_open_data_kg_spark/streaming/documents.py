@@ -38,6 +38,24 @@ def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
             .parquet(path))
 
 
+def _guard_fresh_checkpoint(out_path: str, checkpoint_dir: str) -> None:
+    """Batch ids restart at 0 under a FRESH checkpoint, and the
+    idempotent sink's dynamic partition overwrite would then silently
+    replace an earlier run's `_batch_id=0..` partitions (round-4
+    ADVICE). Fail fast instead: a new checkpoint must come with a new
+    (or empty) out_path; resuming an existing out_path requires the
+    checkpoint that produced it."""
+    import os
+    fresh = not os.path.isdir(os.path.join(checkpoint_dir, "offsets"))
+    if fresh and os.path.isdir(out_path) and any(
+            e.startswith("_batch_id=") for e in os.listdir(out_path)):
+        raise ValueError(
+            f"fresh streaming checkpoint {checkpoint_dir!r} would "
+            f"overwrite existing batch partitions in {out_path!r}; "
+            "reuse the original checkpoint dir or point the stream at "
+            "a new out_path")
+
+
 def stream_detect_mentions(doc_stream: DataFrame, places: DataFrame,
                            out_path: str, checkpoint_dir: str,
                            available_now: bool = True,
@@ -61,6 +79,7 @@ def stream_detect_mentions(doc_stream: DataFrame, places: DataFrame,
     from geo_linked_open_data_kg_spark.operators.mentions import (
         detect_mentions,
     )
+    _guard_fresh_checkpoint(out_path, checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -106,6 +125,7 @@ def stream_link_mentions(doc_stream: DataFrame, places: DataFrame,
     from geo_linked_open_data_kg_spark.operators.linking import (
         link_mentions,
     )
+    _guard_fresh_checkpoint(out_path, checkpoint_dir)
     # one eager materialization: the stoplist must not be recomputed
     # (or worse, recomputed over a GROWN corpus) per micro-batch
     pinned = stop_surfaces.localCheckpoint(eager=True)

@@ -197,6 +197,28 @@ def test_trigram_language_id_on_real_sentences(spark):
                    7: "en", 8: "und"}, got
 
 
+def test_script_aware_language_id(spark):
+    """Round-5: Unicode-script detection must classify non-Latin docs
+    (CJK/Cyrillic/Arabic/Greek/Hangul) that the Latin trigram profiles
+    would send to 'und'; Latin-majority mixed-script text must still
+    take the trigram path; kana presence must separate ja from zh."""
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        SCRIPT_SAMPLE_DOCS,
+        language_id,
+    )
+    out = {r["doc_id"]: (r["pred_lang"], r["best_ratio"])
+           for r in language_id(_docs(spark, SCRIPT_SAMPLE_DOCS)).collect()}
+    langs = {i: lg for i, (lg, _) in out.items()}
+    assert langs == {9000001: "ru", 9000002: "ar", 9000003: "el",
+                     9000004: "zh", 9000005: "ja", 9000006: "ko",
+                     9000007: "en"}, langs
+    # script-decided docs report the script char share, a real ratio
+    for i in (9000001, 9000002, 9000003, 9000004, 9000005, 9000006):
+        assert 0.5 <= out[i][1] <= 1.0, out[i]
+    # the mixed doc (4 Han chars in Latin text) is NOT script-decided
+    assert out[9000007][1] < 0.5
+
+
 def test_ann_ivf_recall_and_cell_pruning(spark):
     """IVF coarse-quantizer ANN (the cell-pruned scale path): recall
     >=0.7 of brute top-5 at n_probe=4 of 16 cells, strictly better than
