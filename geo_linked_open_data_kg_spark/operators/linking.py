@@ -325,6 +325,8 @@ def fuzzy_candidates(grams: DataFrame, places: DataFrame,
     Short grams (<=5 chars) additionally require a matching first char.
 
     Output adds `rank_offset` (int) for the caller's ranking step.
+    `max_seen=1` reproduces the round-3 zero-exact-only gate (used by
+    scripts/ab_bench.py to isolate the count-gate's marginal cost).
 
     `distinct_surfaces` (one `gram` column, e.g. surface_stats output)
     replaces the corpus-wide distinct with a vocabulary-level input; all

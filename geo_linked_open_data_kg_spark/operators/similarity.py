@@ -154,97 +154,94 @@ def ann_lsh_topk(embeddings: DataFrame, hyperplanes: DataFrame,
 
 
 # ------------------------------------------------------------ IVF ANN ------
-
-def _sq_dists(emb: Column, c_arr: Column) -> Column:
-    """Array of squared L2 distances from `emb` to each centroid."""
-    return F.transform(c_arr, lambda c: F.aggregate(
-        F.zip_with(c, emb, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x))
-
-
-def _cent_literal(cents: list) -> Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                     for c in cents])
+#
+# Round-5 redesign (VERDICT r4 item 2): the coarse quantizer's centroids
+# are PERSISTED FIXTURE DATA (fixtures.generate.write_centroids — the
+# `hyperplanes` pattern), not an in-engine training run, because trained
+# centroid floats depend on engine summation order and the DuckDB oracle
+# must see bit-identical values. Assignment/probing use COSINE to the
+# centroid (rounded 6dp, tie -> lowest cid) — the same float-discipline
+# the green brute/LSH oracles already rely on — so the full IVF path is
+# expressible in plain SQL over (embeddings x centroid fixture).
 
 
-def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
-                     iters: int = 2) -> list:
-    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+def _collect_cents(centroids: DataFrame) -> list:
+    """Collect the tiny centroid dim ONCE per DataFrame instance (same
+    memoization contract as _collect_planes)."""
+    cached = getattr(centroids, "_ivf_cents_cache", None)
+    if cached is None:
+        cached = [list(r["weights"]) for r in
+                  sorted(centroids.collect(), key=lambda r: r["cid"])]
+        centroids._ivf_cents_cache = cached
+    return cached
 
-    Init = the `n_centroids` lowest vec_ids (seed-free determinism);
-    each iteration assigns map-side against centroid LITERALS (no
-    shuffle) and re-averages per cell (one tiny groupBy). Trains on the
-    full table here because the test table is small; at 100 TB train on
-    a bounded .limit() sample — quantizer quality needs only a sample,
-    and the literal-centroid assignment is unchanged."""
-    emb_d = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    cents = [list(r["emb"]) for r in
-             emb_d.orderBy("vec_id").limit(n_centroids).collect()]
-    dim = len(cents[0])
-    for _ in range(iters):
-        c_arr = _cent_literal(cents)
-        d = _sq_dists(F.col("emb"), c_arr)
-        assigned = emb_d.withColumn(
-            "cid", (F.array_position(d, F.array_min(d)) - 1).cast("int"))
-        means = (assigned.groupBy("cid")
-                 .agg(*[F.avg(F.col("emb")[i]).alias(f"d{i}")
-                        for i in range(dim)])
-                 .collect())
-        for r in means:  # empty cells keep their previous centroid
-            cents[r["cid"]] = [r[f"d{i}"] for i in range(dim)]
-    return cents
+
+def _cent_cos_structs(emb: Column, nrm: Column, cents: list) -> Column:
+    """Array of (negcos, cid) structs — one per centroid literal. Struct
+    ordering then makes array_min == argmax-cosine with ties broken by
+    LOWEST cid, and array_sort a best-first probe order; cosine is
+    rounded 6dp first so the oracle's ORDER BY round(...) DESC, cid ASC
+    sees the identical total order."""
+    arr = []
+    for cid, w in enumerate(cents):
+        c = F.array(*[F.lit(float(x)) for x in w])
+        cos = F.round(dot(emb, c) / (nrm * norm(c)), 6)
+        arr.append(F.struct((-cos).alias("negcos"),
+                            F.lit(cid).cast("int").alias("cid")))
+    return F.array(*arr)
+
+
+def _emb_with_norm(embeddings: DataFrame) -> DataFrame:
+    emb = F.col("embedding").cast("array<double>")
+    return embeddings.select("vec_id", emb.alias("emb"),
+                             norm(emb).alias("nrm"))
 
 
 def ivf_assign(embeddings: DataFrame, cents: list) -> DataFrame:
-    """(vec_id, emb, cid) — the IVF inverted index. Pure map-side: the
-    centroid table rides the plan as literals."""
-    emb_d = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    d = _sq_dists(F.col("emb"), _cent_literal(cents))
-    return emb_d.withColumn(
-        "cid", (F.array_position(d, F.array_min(d)) - 1).cast("int"))
+    """(vec_id, emb, nrm, cid) — the IVF inverted index. Pure map-side:
+    the centroid table rides the plan as literals (centroid norms are
+    literal-only subexpressions, constant-folded by Catalyst)."""
+    emb_d = _emb_with_norm(embeddings)
+    arr = _cent_cos_structs(F.col("emb"), F.col("nrm"), cents)
+    return emb_d.withColumn("cid", F.array_min(arr)["cid"])
 
 
-def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
-                 n_centroids: int = 16, n_probe: int = 4,
-                 cents: list | None = None) -> DataFrame:
+def ann_ivf_topk(embeddings: DataFrame,
+                 centroids: DataFrame | list,
+                 n_queries: int = 10, k: int = 5,
+                 n_probe: int = 4) -> DataFrame:
     """IVF-partitioned ANN top-k — the cell-pruned scale path alongside
-    ann_lsh_topk: a k-means coarse quantizer cells the corpus, each
-    query probes only its `n_probe` nearest cells, and exact cosine
-    ranks within the probed cells. Scanned fraction is bounded by
-    ~n_probe/n_centroids of the corpus per query (vs LSH's
+    ann_lsh_topk: the persisted coarse-quantizer cells the corpus, each
+    query probes only its `n_probe` nearest cells (by centroid cosine),
+    and exact cosine ranks within the probed cells. Scanned fraction is
+    bounded by ~n_probe/n_centroids of the corpus per query (vs LSH's
     collision-driven pruning); at 100 TB the inverted index is the
     partitioning (write the corpus partitioned BY cid and probing
     becomes partition pruning at the scan).
 
     Output: (query_id, neighbor_id, cos, rank) — same shape as
     ann_brute_topk/ann_lsh_topk so recall is directly comparable."""
-    if cents is None:
-        cents = kmeans_centroids(embeddings, n_centroids)
+    cents = (_collect_cents(centroids)
+             if isinstance(centroids, DataFrame) else centroids)
     assigned = ivf_assign(embeddings, cents)
-    c_arr = _cent_literal(cents)
-    d = _sq_dists(F.col("q_emb"), c_arr)
-    probe_cids = F.slice(
-        F.transform(
-            F.array_sort(F.zip_with(
-                d, F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                lambda dist, i: F.struct(dist.alias("d"), i.alias("i")))),
-            lambda s: s["i"]),
+    probe_arr = F.slice(
+        F.array_sort(_cent_cos_structs(F.col("q_emb"), F.col("q_nrm"),
+                                       cents)),
         1, n_probe)
     queries = (assigned.where(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("emb").alias("q_emb"))
-               .select("query_id", "q_emb",
-                       F.explode(probe_cids).alias("probe_cid"))
-               .select("query_id", "q_emb",
-                       F.col("probe_cid").cast("int").alias("cid")))
+                       F.col("emb").alias("q_emb"),
+                       F.col("nrm").alias("q_nrm"))
+               .select("query_id", "q_emb", "q_nrm",
+                       F.explode(F.transform(probe_arr, lambda s: s["cid"]))
+                       .alias("cid")))
     cand = (F.broadcast(queries)
             .join(assigned.withColumnRenamed("vec_id", "neighbor_id"),
                   "cid")
             .where(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cos", F.round(cosine(F.col("q_emb"),
-                                              F.col("emb")), 6)))
+            .withColumn("cos", F.round(dot(F.col("q_emb"), F.col("emb"))
+                                       / (F.col("q_nrm") * F.col("nrm")),
+                                       6)))
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("cos").desc(), F.col("neighbor_id").asc()))
     return (cand.withColumn("rank", F.row_number().over(w))

@@ -1485,6 +1485,59 @@ def td_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         load(spark, sf_dir, "hyperplanes"))
 
 
+@register("td_ann_ivf_topk", f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS nrm
+  FROM embeddings
+), c AS (
+  SELECT cid, CAST(weights AS DOUBLE[]) AS w,
+         sqrt(list_sum(list_transform(CAST(weights AS DOUBLE[]),
+                                      x -> x * x))) AS cn
+  FROM read_parquet('{_sp("kmeans_centroids")}')
+), ec AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(e.emb, c.w) / (e.nrm * c.cn), 6) AS ccos
+  FROM e CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        ORDER BY ccos DESC, cid ASC) AS rn FROM ec) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        ORDER BY ccos DESC, cid ASC) AS rn FROM ec WHERE vec_id < 10)
+  WHERE rn <= 4
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round({_COS_SQL}, 6) AS cos,
+         row_number() OVER (PARTITION BY cd.query_id
+             ORDER BY round({_COS_SQL}, 6) DESC,
+                      cd.neighbor_id ASC) AS rank
+  FROM cand cd
+  JOIN e q ON q.vec_id = cd.query_id
+  JOIN e ON e.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= 5
+""")
+def td_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-pruned ANN over the persisted coarse-quantizer fixture
+    (round-5: centroids are data shared bit-identically with the
+    oracle; assignment/probing by 6dp-rounded centroid cosine, tie ->
+    lowest cid). similarity.ann_ivf_topk."""
+    from geo_linked_open_data_kg_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+    return ann_ivf_topk(load(spark, sf_dir, "embeddings"),
+                        load(spark, sf_dir, "kmeans_centroids"))
+
+
 # ------------------------------------------------------ text analysis ------
 
 _BPE_RE = r"[A-Za-z]{1,4}|\d{1,3}|[^\sA-Za-z\d]"
@@ -1945,6 +1998,17 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flagship registration deferred: its oracle composes oracles defined above
 QUERIES["kg_canonical_gazetteer_triples"] = kg_canonical_gazetteer_triples
 ORACLES["kg_canonical_gazetteer_triples"] = _canonical_oracle()
+
+# Registry fold (round-5, VERDICT r4 item 2): kg_promoted_links is a pure
+# threshold filter over kg_spatial_links' rows (identical row count every
+# round), and its VALUE semantics stay oracle-covered through the flagship
+# kg_canonical_gazetteer_triples + kg_nodes compositions (whose SQL embeds
+# the promoted-links oracle, assembled above BEFORE this retirement). Its
+# slot goes to td_ann_ivf_topk — the one dedup/ANN-family member that
+# shipped pytest-gated in round 4. The operator + promotion goldens remain
+# in tests/test_pipeline.py and the pipeline itself.
+del QUERIES["kg_promoted_links"]
+del ORACLES["kg_promoted_links"]
 
 # Reorder so pipeline-critical value gates sit in the FIRST entries: the
 # driver runs correctness in registration order with a hard 50-entry cap,

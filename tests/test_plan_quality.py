@@ -108,3 +108,90 @@ def test_clustered_cascade_exchange_budget(spark):
     keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert not any(k.count(",") == 1 and k.startswith("doc_id") for k in keys), \
         f"corpus re-shuffled by doc_id alone: {keys}"
+
+
+def test_spatial_join_hot_cell_skew_split(spark):
+    """Reference failure mode: mega-country/hot-cell skew
+    (PROJECT_STATUS.md:96-103 — the reference hand-rolls per-country
+    chunkers around it). One urban cell holding ~30% of places must be
+    handled by AQE's skew-join split (session.py enables
+    spark.sql.adaptive.skewJoin) within the spatial join's exchange
+    budget — the named mechanism replaces hand-chunking at 100 TB.
+
+    The dims broadcast by explicit hint, so the cell equi-join is forced
+    to sort-merge (autoBroadcastJoinThreshold=-1) and the skew
+    thresholds lowered to fixture scale; 'skew=true' on the join node is
+    AQE's split marker."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from geo_linked_open_data_kg_spark.operators.spatial import (
+        spatial_links,
+    )
+
+    rng = np.random.default_rng(11)
+    hot = [Row(geoname_id=i, name=f"Hot {i}", latitude=52.0 + float(j),
+               longitude=-106.0 + float(k), feature_code="PPL",
+               population=1000 + i)
+           for i, (j, k) in enumerate(zip(
+               rng.uniform(-0.004, 0.004, 600),
+               rng.uniform(-0.004, 0.004, 600)))]
+    cold = [Row(geoname_id=10000 + i, name=f"Cold {i}",
+                latitude=float(30 + (i % 300) * 0.1),
+                longitude=float(-120 + (i // 300) * 2.0),
+                feature_code="PPL", population=500)
+            for i in range(1400)]
+    places = spark.createDataFrame(hot + cold)
+    wd_hot = [Row(qid=f"Q{i}", name=f"Hot {i}", latitude=52.0 + float(j),
+                  longitude=-106.0 + float(k), instance_of_qid="Q515")
+              for i, (j, k) in enumerate(zip(
+                  rng.uniform(-0.004, 0.004, 100),
+                  rng.uniform(-0.004, 0.004, 100)))]
+    wd_cold = [Row(qid=f"QC{i}", name=f"Cold {i}",
+                   latitude=float(30 + (i % 100) * 0.1),
+                   longitude=float(-120 + (i // 100) * 2.0),
+                   instance_of_qid="Q515")
+               for i in range(100)]
+    wd = spark.createDataFrame(wd_hot + wd_cold)
+    fprio = spark.createDataFrame([Row(feature_code="PPL", priority=80)])
+    wprio = spark.createDataFrame([Row(instance_of_qid="Q515", priority=90)])
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "4KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                       "2")
+        df = spatial_links(wd, places, fprio, wprio)
+        # collect() executes THIS DataFrame's QueryExecution, so the
+        # inspected plan is the AQE-final one (count() would finalize a
+        # different plan and leave this one isFinalPlan=false)
+        n = len(df.collect())
+        assert n > 0, "skew fixture produced no links"
+        # the executed-plan string appends AQE's "== Initial Plan =="
+        # section — count exchanges in the FINAL plan only
+        plan = _plan(df).split("== Initial Plan ==")[0]
+        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+        # forced-SMJ shape costs one more exchange than production (both
+        # join sides hashpartition on cell + the qid ranking window);
+        # the production <=2 budget is locked by
+        # test_spatial_join_is_single_exchange_with_broadcast_dims
+        assert n_ex <= 3, f"hot-cell fixture grew the join to {n_ex} shuffles"
+        assert "SortMergeJoin(skew=true)" in plan, \
+            "AQE skew-join split not engaged on the hot cell"
+        assert "coalesced and skewed" in plan, \
+            "hot-cell shuffle read not split by AQE"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
