@@ -63,6 +63,10 @@ def test_metrics_and_lineage_written(spark, out_dir):
     rows = {r["metric"]: r["value"] for r in m.collect()}
     assert rows["n_rows"] > 0
     assert any(k.startswith("n_triples:") for k in rows)
+    # round-5 CC convergence audit (no silent iteration caps): the
+    # canonicalization stage records rounds_run + converged
+    assert rows["cc_converged"] == 1, rows
+    assert 1 <= rows["cc_rounds_run"] <= 25, rows
     lin = spark.read.parquet(f"{out_dir}/_lineage/gazetteer_triples")
     assert lin.agg(F.sum("n_rows")).collect()[0][0] == \
         spark.read.parquet(f"{out_dir}/gazetteer_triples").count()
