@@ -27,6 +27,8 @@ import pyarrow.parquet as pq
 SEED = 42
 
 # (places, wikidata, persons, orgs, post_offices, documents)
+DRIVER_ROOT = "/root/testdata"  # driver parquet root (TESTDATA.md)
+
 SF_SIZES = {
     "0.001": dict(places=800, wd=500, persons=300, orgs=60, po=120, docs=400),
     "0.01": dict(places=5000, wd=3000, persons=2000, orgs=300, po=500, docs=10000),
@@ -703,9 +705,15 @@ def write_centroids(out_dir: str, sf: str) -> None:
     Deterministic spherical k-means in numpy float64: init = the 16
     lowest vec_ids' vectors, 2 Lloyd iterations of cosine-argmax
     assignment + unnormalized cell means."""
-    emb_path = f"/root/testdata/sf{sf}/embeddings.parquet"
+    emb_path = f"{DRIVER_ROOT}/sf{sf}/embeddings.parquet"
     if not os.path.exists(emb_path):
-        return  # no driver embeddings at this sf — nothing to quantize
+        # no driver embeddings at this sf — nothing to quantize. Loud,
+        # not silent: a missing centroid fixture later fails ann_ivf
+        # queries with an unexplained missing-parquet error otherwise.
+        print(f"[fixtures] WARNING: {emb_path} missing - "
+              "kmeans_centroids.parquet NOT written; td_ann_ivf_topk "
+              "and its oracle need it", flush=True)
+        return
     t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
     vid = np.asarray(t["vec_id"].to_pylist())
     emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)

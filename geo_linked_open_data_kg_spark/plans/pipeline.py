@@ -126,21 +126,25 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
 
     from geo_linked_open_data_kg_spark.operators import canonicalize
 
-    canon = ckpt.get_or_compute(
-        spark, "canonical_triples",
-        lambda: rewrite_triples(
+    # CC convergence audit (no silent iteration caps): stats are copied
+    # out of canonicalize.LAST_CC_STATS IMMEDIATELY after the CC call —
+    # not at metrics-write time — so a later CC invocation in the same
+    # process can never masquerade as this stage's run
+    cc_stats: dict = {}
+
+    def _canon_compute() -> DataFrame:
+        mapping = canonical_mapping(
+            gaz_triples.where(F.col("pred") == "sameAs"))
+        cc_stats.update(canonicalize.LAST_CC_STATS)
+        return rewrite_triples(
             gaz_triples.unionByName(mention_t.select(*TRIPLE_COLS)),
-            canonical_mapping(
-                gaz_triples.where(F.col("pred") == "sameAs"))),
-        force=force,
-        # CC convergence audit rows (canonicalize runs eagerly inside
-        # compute(), so LAST_CC_STATS is final here): max_iter must
-        # never truncate silently — queryable via _metrics
+            mapping)
+
+    canon = ckpt.get_or_compute(
+        spark, "canonical_triples", _canon_compute, force=force,
         extra_metrics_fn=lambda: [
-            ("cc_rounds_run",
-             canonicalize.LAST_CC_STATS.get("rounds_run", -1)),
-            ("cc_converged",
-             int(canonicalize.LAST_CC_STATS.get("converged", False)))])
+            ("cc_rounds_run", cc_stats.get("rounds_run", -1)),
+            ("cc_converged", int(cc_stats.get("converged", False)))])
 
     nodes = ckpt.get_or_compute(
         spark, "nodes",

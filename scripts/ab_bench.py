@@ -86,7 +86,7 @@ def main() -> None:
     order = list(VARIANTS)
     for rnd in range(rounds):
         # rotate the within-round order so no variant always runs first
-        for v in order[rnd % 3:] + order[:rnd % 3]:
+        for v in order[rnd % len(order):] + order[:rnd % len(order)]:
             out_dir = tempfile.mkdtemp(prefix=f"ab_{v}_")
             try:
                 t0 = time.time()

@@ -299,6 +299,11 @@ def test_media_decoder_seam_swap(spark):
     assert idxs == {0, 2, 4, 6}, idxs
 
     # and the default stub still drives the same pipeline (seam is
-    # optional, not a fork): per-asset frame counts differ per metadata
-    sf_stub = sample_frames(media_features(docs))
-    assert sf_stub.count() != sf.count() or n_assets == 0
+    # optional, not a fork): the stub's md5-derived fake_n_frames vary
+    # per asset, so per-asset sampled-frame counts are NOT one constant
+    # (the injected probe's uniform 8-frame metadata gives exactly 4)
+    stub_counts = {r["n"] for r in
+                   sample_frames(media_features(docs))
+                   .groupBy("media_ref")
+                   .agg(F.count("*").alias("n")).collect()}
+    assert len(stub_counts) > 1, stub_counts
