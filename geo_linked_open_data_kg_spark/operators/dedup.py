@@ -78,6 +78,32 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     return shingles_from_tokens(tokenized(documents), k)
 
 
+def decontaminate(documents: DataFrame, eval_docs: DataFrame,
+                  k: int = 5) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word k-gram with an evaluation/benchmark document — the published
+    n-gram-overlap rule used for pre-training data hygiene (GPT-3
+    appendix C uses 13-grams; Dolma/The Pile use similar windows; k is
+    a parameter because the right window tracks document length).
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (MBs vs 100 TB), so its distinct shingles BROADCAST; corpus
+    shingles stream through the broadcast hash join map-side and the
+    per-document counts partial-aggregate before the only shuffle
+    (groupBy doc_id — elided entirely when the corpus arrives
+    doc_id-clustered). Never an all-pairs comparison.
+    Output: (doc_id, n_shared_shingles, n_eval_docs) for contaminated
+    training docs only.
+    """
+    ev = (shingles_from_tokens(tokenized(eval_docs), k)
+          .select(F.col("doc_id").alias("eval_doc_id"), "shingle"))
+    tr = shingles_from_tokens(tokenized(documents), k)
+    return (tr.join(F.broadcast(ev), "shingle")
+            .groupBy("doc_id")
+            .agg(F.size(F.collect_set("shingle")).alias("n_shared_shingles"),
+                 F.size(F.collect_set("eval_doc_id")).alias("n_eval_docs")))
+
+
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Exact dedup: md5(normalized text) groups with >1 member.
     Output: (text_hash, n_dups, keeper_doc_id)."""

@@ -239,6 +239,127 @@ def language_id(documents: DataFrame) -> DataFrame:
                 .alias("best_ratio")))
 
 
+# PII patterns, spelled in the Java-regex ∩ RE2 common dialect (classes,
+# \b, \d, bounded repeats — no lookaround, no backrefs) so the SAME
+# pattern string runs in Spark and DuckDB. Redaction applies them in
+# PII_ORDER; email runs first so its local-part digits are not half-eaten
+# by the phone rule.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+PII_ORDER = ["email", "ipv4", "phone"]
+
+# The driver corpus is PII-free word soup, so td_pii_stats unions these
+# deterministic docs on BOTH sides (the SCRIPT_SAMPLE_DOCS pattern) to
+# keep every pattern branch non-vacuous.
+PII_SAMPLE_DOCS = [
+    (9100001, "contact alice.smith+test@example.co.uk or call 555-867-5309"),
+    (9100002, "host 192.168.1.100 and 10.0.0.7 pinged bob@test.org today"),
+    (9100003, "no pii here just plain text about tables and rows"),
+    (9100004, "dial 800.555.0199 or 212 555 0123 backup ip 255.255.255.0"),
+    (9100005, "almost a phone 12-345-6789 and almost an ip 1.2.3.4567"),
+]
+
+
+def pii_stats(documents: DataFrame) -> DataFrame:
+    """PII detection/redaction for training-data hygiene: per-document
+    match counts for email / IPv4 / US-phone patterns plus the md5 of
+    the redacted text (matches are replaced by [EMAIL]/[IPV4]/[PHONE]
+    in PII_ORDER).
+
+    Scale shape: pure Column regexp work — one corpus pass, zero
+    shuffles, whole-stage codegen; the standard pre-training scrub
+    (C4/Dolma-style rule-based PII masking) expressed JVM-side.
+    Output: (doc_id, n_email, n_ipv4, n_phone, pii_total, redacted_hash).
+    """
+    text = F.col("text")
+    counts = {k: F.regexp_count(text, F.lit(p)).cast("long")
+              for k, p in PII_PATTERNS.items()}
+    red = text
+    for k in PII_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
+    total = counts["email"] + counts["ipv4"] + counts["phone"]
+    return documents.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        total.alias("pii_total"),
+        F.md5(red).alias("redacted_hash"))
+
+
+# Driver docs are single-line, so the line-level repetition metrics are
+# exercised through these union'd samples (newlines + duplicate lines).
+REPETITION_SAMPLE_DOCS = [
+    (9200001, "alpha beta gamma\nalpha beta gamma\ndelta epsilon\n"
+              "alpha beta gamma"),
+    (9200002, "one line only"),
+    (9200003, "repeat repeat repeat repeat word word zeta"),
+    (9200004, "a b\n\n  \na b\nc d e"),
+]
+
+
+def _top_count(arr: Column) -> Column:
+    """Max multiplicity over an array's elements (0 for empty) — nested
+    higher-order functions, so the whole metric stays map-side."""
+    return F.coalesce(
+        F.array_max(F.transform(
+            F.array_distinct(arr),
+            lambda x: F.size(F.filter(arr, lambda y: y == x)))),
+        F.lit(0))
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public filtering heuristics; also used by C4/Dolma): fraction of
+    duplicate lines, fraction of characters inside duplicated lines,
+    top word / top word-bigram multiplicity fractions.
+
+    All metrics are per-document array computations (nested HOFs over
+    the split text) — one corpus pass, zero shuffles, no UDFs; the
+    O(distinct x n) inner loop is bounded by document length, not
+    corpus size, so the shape survives 100 TB unchanged.
+    Output: (doc_id, n_words, top_word_frac, top_bigram_frac, n_lines,
+    dup_line_frac, dup_line_char_frac), fractions rounded to 6.
+    """
+    # \s+ split (not tokens()'s space-only split): words must not fuse
+    # across the newlines the line metrics depend on
+    w = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                 lambda x: x != "")
+    n_words = F.size(w)
+    bigrams = F.when(n_words >= 2, F.transform(
+        F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 2)))) \
+        .otherwise(F.array().cast("array<string>"))
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    n_lines = F.size(lines)
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    dup_chars = F.aggregate(
+        F.transform(lines, lambda x: F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1,
+            F.length(x)).otherwise(F.lit(0))),
+        F.lit(0), lambda a, x: a + x)
+    tot_chars = F.aggregate(F.transform(lines, lambda x: F.length(x)),
+                            F.lit(0), lambda a, x: a + x)
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(num.cast("double")
+                       / F.greatest(den, F.lit(1)).cast("double"), 6)
+
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        frac(_top_count(w), n_words).alias("top_word_frac"),
+        frac(_top_count(bigrams), F.size(bigrams)).alias("top_bigram_frac"),
+        n_lines.alias("n_lines"),
+        frac(n_dup_lines, n_lines).alias("dup_line_frac"),
+        frac(dup_chars, tot_chars).alias("dup_line_char_frac"))
+
+
 def fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:
     """Rolling-hash document fingerprint: min md5 over word k-gram
     windows (winnowing-style min selection). (doc_id, fingerprint)."""

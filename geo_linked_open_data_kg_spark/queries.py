@@ -574,6 +574,47 @@ def kg_founded(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 load(spark, sf_dir, "wikidata_places"))
 
 
+# Registry fold (round-5): the four person-edge and two org-edge queries
+# above share one (subj, pred, obj, confidence, evidence) schema, so they
+# union into TWO slots with ZERO value-coverage loss — every row each
+# family produced is still oracle-hashed, the preds are disjoint so
+# UNION ALL cannot collapse rows, and the per-edge operators/goldens stay.
+# The four freed slots go to new training-data ops (td_pii_stats,
+# td_repetition_stats, td_sequence_packing, td_decontaminate). The six
+# component registrations are retired at the bottom of this module AFTER
+# every oracle composition that embeds them.
+
+_PERSON_EDGE_PARTS = ["kg_born_in", "kg_citizen_of", "kg_spouse_pairs",
+                      "kg_parent_of"]
+_ORG_EDGE_PARTS = ["kg_headquartered_in", "kg_founded"]
+
+
+@register("kg_person_edges", "\nUNION ALL\n".join(
+    f"SELECT * FROM (\n{ORACLES[n]}\n)" for n in _PERSON_EDGE_PARTS))
+def kg_person_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 person-edge families (bornIn, citizenOf, spouseOf, parentOf) in
+    one registry slot; the operators stay separate."""
+    from geo_linked_open_data_kg_spark.operators import biography
+    p = load(spark, sf_dir, "persons")
+    w = load(spark, sf_dir, "wikidata_places")
+    return (biography.born_in(p, w)
+            .unionByName(biography.citizen_of(p, w))
+            .unionByName(biography.spouse_pairs(p))
+            .unionByName(biography.parent_of(p)))
+
+
+@register("kg_org_edges", "\nUNION ALL\n".join(
+    f"SELECT * FROM (\n{ORACLES[n]}\n)" for n in _ORG_EDGE_PARTS))
+def kg_org_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 organization-edge families (headquarteredIn P159, foundedIn
+    P740) in one registry slot; the operators stay separate."""
+    from geo_linked_open_data_kg_spark.operators import biography
+    o = load(spark, sf_dir, "organizations")
+    w = load(spark, sf_dir, "wikidata_places")
+    return (biography.headquartered_in(o, w)
+            .unionByName(biography.founded_in(o, w)))
+
+
 @register("kg_dangling_fk_counts", f"""
 SELECT 'birth_place_qid' AS fk, count(*) AS n_dangling
 FROM read_parquet('{_sp("persons")}') p
@@ -1775,6 +1816,197 @@ def td_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load(spark, sf_dir, "documents"))
 
 
+# ------------------------------- round-5 training-data additions -----------
+# Four new ops in the slots freed by the person/org edge folds: PII
+# scrub, Gopher repetition signals, training-sequence packing, and
+# benchmark decontamination. Oracle SQL is generated from the SAME
+# constants the operators use, so engine and oracle cannot drift.
+
+
+def _sql_str(s: str) -> str:
+    """Python string -> DuckDB e'...' literal (escapes \\, ', newline)."""
+    body = (s.replace("\\", "\\\\").replace("'", "''")
+            .replace("\n", "\\n"))
+    return f"e'{body}'"
+
+
+def _pii_sql() -> str:
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        PII_ORDER,
+        PII_PATTERNS,
+        PII_SAMPLE_DOCS,
+    )
+    vals = ",\n    ".join(f"(CAST({i} AS BIGINT), {_sql_str(t)})"
+                          for i, t in PII_SAMPLE_DOCS)
+    cnt = {k: f"len(regexp_extract_all(text, '{p}'))"
+           for k, p in PII_PATTERNS.items()}
+    red = "text"
+    for k in PII_ORDER:
+        red = (f"regexp_replace({red}, '{PII_PATTERNS[k]}', "
+               f"'[{k.upper()}]', 'g')")
+    return f"""
+WITH pii_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {vals}) v(doc_id, text)
+)
+SELECT doc_id,
+       CAST({cnt["email"]} AS BIGINT) AS n_email,
+       CAST({cnt["ipv4"]} AS BIGINT) AS n_ipv4,
+       CAST({cnt["phone"]} AS BIGINT) AS n_phone,
+       CAST({cnt["email"]} + {cnt["ipv4"]} + {cnt["phone"]} AS BIGINT)
+         AS pii_total,
+       md5({red}) AS redacted_hash
+FROM pii_docs
+"""
+
+
+@register("td_pii_stats", _pii_sql())
+def td_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based PII detect/redact (C4/Dolma-style scrub) — pure Column
+    regexp in the Java∩RE2 dialect; PII sample docs union'd BOTH sides
+    because the driver corpus is PII-free word soup."""
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        PII_SAMPLE_DOCS,
+        pii_stats,
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(PII_SAMPLE_DOCS,
+                                  "doc_id long, text string")
+    return pii_stats(docs.unionByName(extra))
+
+
+def _repetition_sql() -> str:
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        REPETITION_SAMPLE_DOCS,
+    )
+    vals = ",\n    ".join(f"(CAST({i} AS BIGINT), {_sql_str(t)})"
+                          for i, t in REPETITION_SAMPLE_DOCS)
+    return f"""
+WITH rep_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {vals}) v(doc_id, text)
+), arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS w,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines
+  FROM rep_docs
+), arr2 AS (
+  SELECT doc_id, w, lines,
+         CASE WHEN len(w) >= 2 THEN
+           list_transform(generate_series(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+1], ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM arr
+)
+SELECT doc_id,
+       CAST(len(w) AS INTEGER) AS n_words,
+       round(CAST(coalesce(list_max(list_transform(list_distinct(w),
+                 x -> len(list_filter(w, y -> y = x)))), 0) AS DOUBLE)
+             / greatest(len(w), 1), 6) AS top_word_frac,
+       round(CAST(coalesce(list_max(list_transform(list_distinct(bg),
+                 x -> len(list_filter(bg, y -> y = x)))), 0) AS DOUBLE)
+             / greatest(len(bg), 1), 6) AS top_bigram_frac,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+             / greatest(len(lines), 1), 6) AS dup_line_frac,
+       round(CAST(coalesce(list_sum(list_transform(lines,
+                 x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1
+                           THEN length(x) ELSE 0 END)), 0) AS DOUBLE)
+             / greatest(coalesce(list_sum(list_transform(lines,
+                 x -> length(x))), 0), 1), 6) AS dup_line_char_frac
+FROM arr2
+"""
+
+
+@register("td_repetition_stats", _repetition_sql())
+def td_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (dup-line / top-n-gram fractions) —
+    nested HOFs, zero shuffles; line-bearing sample docs union'd BOTH
+    sides because driver docs are single-line."""
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        REPETITION_SAMPLE_DOCS,
+        repetition_stats,
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(REPETITION_SAMPLE_DOCS,
+                                  "doc_id long, text string")
+    return repetition_stats(docs.unionByName(extra))
+
+
+_PACK_BUDGET = 512
+
+_TOK_LEN_SQL = ("CAST(len(list_filter(regexp_split_to_array("
+                "lower(trim(text)), ' +'), x -> x <> '')) AS BIGINT)")
+
+
+@register("td_sequence_packing", f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_LEN_SQL} AS n_tokens FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       CAST(pre // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(pre % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM cum
+""")
+def td_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing via the two-phase
+    distributed prefix sum (range partition -> per-partition offsets ->
+    within-partition window) — never the single-partition global-window
+    trap the naive spelling plans."""
+    from geo_linked_open_data_kg_spark.operators.packing import (
+        sequence_packing,
+    )
+    return sequence_packing(load(spark, sf_dir, "documents"),
+                            budget=_PACK_BUDGET)
+
+
+_DECON_K = 4  # word 4-grams: at ~54-token synth docs the 13-gram GPT-3
+#               rule is vacuous and 3-grams flag 40% of the corpus
+
+
+@register("td_decontaminate", f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[u.i:u.i+{_DECON_K - 1}], ' ') AS shingle
+  FROM toks CROSS JOIN LATERAL
+       unnest(generate_series(1, greatest(len(t) - {_DECON_K}, 0) + 1)) u(i)
+  WHERE array_to_string(t[u.i:u.i+{_DECON_K - 1}], ' ') <> ''
+), ev AS (
+  SELECT doc_id AS eval_doc_id, shingle FROM sh WHERE doc_id % 97 = 3
+), tr AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 3
+)
+SELECT tr.doc_id,
+       CAST(count(DISTINCT tr.shingle) AS INTEGER) AS n_shared_shingles,
+       CAST(count(DISTINCT ev.eval_doc_id) AS INTEGER) AS n_eval_docs
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id
+""")
+def td_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C n-gram rule): the
+    deterministic doc_id%97==3 slice acts as the eval benchmark; its
+    shingles broadcast against the remaining training corpus."""
+    from geo_linked_open_data_kg_spark.operators.dedup import decontaminate
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 97 == 3)
+    tr = docs.where(F.col("doc_id") % 97 != 3)
+    return decontaminate(tr, ev, k=_DECON_K)
+
+
 # ----------------------------------------------- multimodal (stubbed) ------
 
 @register("td_media_features", f"""
@@ -2009,6 +2241,15 @@ ORACLES["kg_canonical_gazetteer_triples"] = _canonical_oracle()
 # in tests/test_pipeline.py and the pipeline itself.
 del QUERIES["kg_promoted_links"]
 del ORACLES["kg_promoted_links"]
+
+# Registry fold (round-5): the six biography/org edge queries union into
+# kg_person_edges / kg_org_edges above (disjoint preds, identical rows —
+# zero value-coverage loss). Retired here, AFTER _canonical_oracle() and
+# the union oracles composed their SQL. Operators + goldens remain.
+for _n in ("kg_born_in", "kg_citizen_of", "kg_spouse_pairs", "kg_parent_of",
+           "kg_headquartered_in", "kg_founded"):
+    del QUERIES[_n]
+    del ORACLES[_n]
 
 # Reorder so pipeline-critical value gates sit in the FIRST entries: the
 # driver runs correctness in registration order with a hard 50-entry cap,

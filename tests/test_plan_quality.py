@@ -195,3 +195,41 @@ def test_spatial_join_hot_cell_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sequence_packing_never_plans_single_partition(spark):
+    """The naive global-window prefix sum plans Exchange SinglePartition
+    (the whole corpus through ONE task); the two-phase distributed scan
+    must never reintroduce it, and pays exactly one data shuffle (the
+    doc_id range partition) plus the pid-local window exchange."""
+    df = q.td_sequence_packing(spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan, \
+        "prefix sum degenerated to a single-partition global window"
+    # data shuffles only: the doc_id range partition + the pid window
+    # exchange. The base-offset dim arrives via BroadcastExchange, which
+    # moves O(#partitions) rows, not data — excluded on purpose.
+    n_ex = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_ex <= 2, f"sequence packing grew to {n_ex} data shuffles"
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The eval-benchmark shingle set is tiny vs the corpus: it must
+    broadcast (never shuffle the corpus by shingle), and the per-doc
+    aggregation is the only corpus shuffle."""
+    df = q.td_decontaminate(spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan, \
+        "benchmark side not broadcast"
+    assert "SortMergeJoin" not in plan, \
+        "corpus re-shuffled by shingle for the benchmark join"
+
+
+def test_pii_and_repetition_are_zero_exchange(spark):
+    """Both scrub ops are pure Column map work — any exchange in their
+    plans is a regression."""
+    for name in ("td_pii_stats", "td_repetition_stats"):
+        plan = _plan(q.QUERIES[name](spark, SF_DIR))
+        assert "Exchange" not in plan, f"{name} plans a shuffle"
