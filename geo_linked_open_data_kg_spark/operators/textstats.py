@@ -360,6 +360,94 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         frac(dup_chars, tot_chars).alias("dup_line_char_frac"))
 
 
+# Composite keep/drop thresholds (Gopher Table A1 / C4-style public
+# heuristics), spelled as INTEGER cross-multiplications so the rule
+# boundary is exact in every engine — e.g. "mean word length >= 3" is
+# `3 * n_words <= total_word_chars`, never a float division. The word
+# bounds are scaled to the ~50-word synth docs (Gopher's own 50/100k).
+QUALITY_THRESHOLDS = {
+    "min_words": 10, "max_words": 100_000,
+    "min_mwl": 3, "max_mwl": 10,       # mean word length bounds
+    "alpha_num": 4, "alpha_den": 5,    # >= 4/5 words contain a letter
+    "sym_den": 10,                     # #/ellipsis count <= n_words/10
+    "rep_den": 5,                      # top word multiplicity <= n/5
+    "dup_num": 3, "dup_den": 10,       # dup lines <= 3/10 of lines
+}
+
+# Rule order is the reasons-string order — keep both engines on it.
+QUALITY_RULE_ORDER = ["word_count", "mean_word_len", "alpha_ratio",
+                      "symbol_ratio", "repetition", "dup_lines"]
+
+# One deterministic violator per rule (plus one clean doc) union'd on
+# both engine sides — the driver corpus is uniform word soup that
+# passes every rule, so these keep each branch non-vacuous.
+QUALITY_SAMPLE_DOCS = [
+    (9300001, "too short"),
+    (9300002, "a b c d e f g h i j k l"),
+    (9300003, "hyperextraordinarily " * 12),
+    (9300004, "123 456 789 012 345 678 901 234 567 890 123 456"),
+    (9300005, "see # tag # note # plus ... more ... data ... end etc ok"),
+    (9300006, "spam spam spam spam spam spam spam spam spam spam ok go"),
+    (9300007, "alpha beta gamma\nalpha beta gamma\nalpha beta gamma\n"
+              "delta epsilon zeta eta theta iota kappa"),
+    (9300008, "this is a perfectly ordinary clean document with plain "
+              "words that passes every single published quality rule"),
+]
+
+
+def quality_filter(documents: DataFrame) -> DataFrame:
+    """Composite training-data quality verdict: the published
+    Gopher/C4 keep-drop heuristics (word-count bounds, mean word
+    length, alphabetic-word ratio, symbol-to-word ratio, top-word
+    repetition, duplicate-line fraction) fused into one keep boolean
+    plus a deterministic comma-joined reasons string.
+
+    Scale shape: one corpus pass of nested higher-order array
+    functions, zero shuffles, whole-stage codegen; all comparisons are
+    integer cross-multiplications (QUALITY_THRESHOLDS) so the verdict
+    is bit-identical across engines.
+    Output: (doc_id, n_words, keep, n_fail, reasons).
+    """
+    q = QUALITY_THRESHOLDS
+    w = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                 lambda x: x != "")
+    n_words = F.size(w)
+    word_chars = F.aggregate(F.transform(w, lambda x: F.length(x)),
+                             F.lit(0), lambda a, x: a + x)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    n_sym = (F.regexp_count(F.col("text"), F.lit("#"))
+             + F.regexp_count(F.col("text"), F.lit(r"\.\.\.")))
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    n_lines = F.size(lines)
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+
+    fails = {
+        "word_count": (n_words < q["min_words"])
+        | (n_words > q["max_words"]),
+        "mean_word_len": (word_chars < q["min_mwl"] * n_words)
+        | (word_chars > q["max_mwl"] * n_words),
+        "alpha_ratio": q["alpha_den"] * n_alpha
+        < q["alpha_num"] * n_words,
+        "symbol_ratio": q["sym_den"] * n_sym > n_words,
+        # gated on the word floor: with < rep_den distinct words the
+        # multiplicity bound fires vacuously on any tiny doc
+        "repetition": (n_words >= q["min_words"])
+        & (q["rep_den"] * _top_count(w) > n_words),
+        "dup_lines": q["dup_den"] * n_dup_lines
+        > q["dup_num"] * n_lines,
+    }
+    reasons = F.filter(
+        F.array(*[F.when(fails[r], F.lit(r)) for r in QUALITY_RULE_ORDER]),
+        lambda x: x.isNotNull())
+    return documents.select(
+        "doc_id", n_words.alias("n_words"),
+        (F.size(reasons) == 0).alias("keep"),
+        F.size(reasons).alias("n_fail"),
+        F.concat_ws(",", reasons).alias("reasons"))
+
+
 def fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:
     """Rolling-hash document fingerprint: min md5 over word k-gram
     windows (winnowing-style min selection). (doc_id, fingerprint)."""

@@ -592,15 +592,24 @@ _ORG_EDGE_PARTS = ["kg_headquartered_in", "kg_founded"]
 @register("kg_person_edges", "\nUNION ALL\n".join(
     f"SELECT * FROM (\n{ORACLES[n]}\n)" for n in _PERSON_EDGE_PARTS))
 def kg_person_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 person-edge families (bornIn, citizenOf, spouseOf, parentOf) in
-    one registry slot; the operators stay separate."""
+    """Person-edge families in one registry slot: J3 QID equi-joins
+    (bornIn, citizenOf, spouseOf, parentOf), J12 ID-array containment
+    (residedIn P551, workedAt P937) and the J14 2-hop semi-join
+    (bornInPlace); the per-edge operators stay separate. All preds are
+    disjoint, so the UNION ALL keeps every family's rows value-hashed.
+    The oracle is recomposed below kg_born_in_place's registration (its
+    SQL does not exist yet at this decoration point)."""
     from geo_linked_open_data_kg_spark.operators import biography
     p = load(spark, sf_dir, "persons")
     w = load(spark, sf_dir, "wikidata_places")
+    same = direct_link.direct_id_links(w, load(spark, sf_dir, "places"))
     return (biography.born_in(p, w)
             .unionByName(biography.citizen_of(p, w))
             .unionByName(biography.spouse_pairs(p))
-            .unionByName(biography.parent_of(p)))
+            .unionByName(biography.parent_of(p))
+            .unionByName(biography.resided_in(p, w))
+            .unionByName(biography.worked_at(p, w))
+            .unionByName(biography.born_in_place(p, w, same)))
 
 
 @register("kg_org_edges", "\nUNION ALL\n".join(
@@ -653,6 +662,17 @@ def kg_born_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = load(spark, sf_dir, "wikidata_places")
     same = direct_link.direct_id_links(wd, load(spark, sf_dir, "places"))
     return biography.born_in_place(load(spark, sf_dir, "persons"), wd, same)
+
+
+# Round-5 fold, part 2: absorb the J12 containment edges and the J14
+# 2-hop edges into kg_person_edges (disjoint preds residedIn / workedAt /
+# bornInPlace — zero value-coverage loss). The oracle is recomposed here
+# because kg_born_in_place's SQL is only registered above, after the
+# kg_person_edges decoration ran. Both component slots retire at the
+# bottom of the module with the other folded edge families.
+ORACLES["kg_person_edges"] = "\nUNION ALL\n".join(
+    f"SELECT * FROM (\n{ORACLES[n]}\n)"
+    for n in [*_PERSON_EDGE_PARTS, "kg_resided_worked", "kg_born_in_place"])
 
 
 @register("kg_migration_flows", f"""
@@ -2007,6 +2027,116 @@ def td_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(tr, ev, k=_DECON_K)
 
 
+def _quality_filter_sql() -> str:
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        QUALITY_SAMPLE_DOCS,
+        QUALITY_THRESHOLDS,
+    )
+    q = QUALITY_THRESHOLDS
+    vals = ",\n    ".join(f"(CAST({i} AS BIGINT), {_sql_str(t)})"
+                          for i, t in QUALITY_SAMPLE_DOCS)
+    return f"""
+WITH q_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {vals}) v(doc_id, text)
+), arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS w,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+  FROM q_docs
+), m AS (
+  SELECT doc_id, n_sym, len(w) AS n_words,
+         coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+           AS word_chars,
+         len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         coalesce(list_max(list_transform(list_distinct(w),
+                   x -> len(list_filter(w, y -> y = x)))), 0) AS top_cnt,
+         len(lines) AS n_lines,
+         len(lines) - len(list_distinct(lines)) AS n_dup_lines
+  FROM arr
+), r AS (
+  SELECT doc_id, n_words,
+         list_filter([
+           CASE WHEN n_words < {q["min_words"]}
+                  OR n_words > {q["max_words"]} THEN 'word_count' END,
+           CASE WHEN word_chars < {q["min_mwl"]} * n_words
+                  OR word_chars > {q["max_mwl"]} * n_words
+                THEN 'mean_word_len' END,
+           CASE WHEN {q["alpha_den"]} * n_alpha < {q["alpha_num"]} * n_words
+                THEN 'alpha_ratio' END,
+           CASE WHEN {q["sym_den"]} * n_sym > n_words
+                THEN 'symbol_ratio' END,
+           CASE WHEN n_words >= {q["min_words"]}
+                 AND {q["rep_den"]} * top_cnt > n_words
+                THEN 'repetition' END,
+           CASE WHEN {q["dup_den"]} * n_dup_lines > {q["dup_num"]} * n_lines
+                THEN 'dup_lines' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM m
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       len(reasons) = 0 AS keep,
+       CAST(len(reasons) AS INTEGER) AS n_fail,
+       coalesce(array_to_string(reasons, ','), '') AS reasons
+FROM r
+"""
+
+
+@register("td_quality_filter", _quality_filter_sql())
+def td_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher/C4 keep-drop verdict — integer-exact rule
+    boundaries shared with the oracle via QUALITY_THRESHOLDS; one
+    violator sample doc per rule union'd BOTH sides."""
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        QUALITY_SAMPLE_DOCS,
+        quality_filter,
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(QUALITY_SAMPLE_DOCS,
+                                  "doc_id long, text string")
+    return quality_filter(docs.unionByName(extra))
+
+
+# Target mixture for the synthetic 20-source corpus: a deterministic
+# spread of keep fractions (0.1..0.9) with the last two sources left OUT
+# of the table to exercise the default keep-all path on both engines.
+MIXTURE_WEIGHTS = {f"src{i}": ((i * 7) % 9 + 1) / 10 for i in range(18)}
+_MIX_SEED = "mix-v1"
+
+
+def _domain_mixture_sql() -> str:
+    from geo_linked_open_data_kg_spark.operators.sampling import cutoff_hex
+    vals = ",\n    ".join(f"('{s}', '{cutoff_hex(f)}')"
+                          for s, f in sorted(MIXTURE_WEIGHTS.items()))
+    bucket = (f"substr(md5(concat('{_MIX_SEED}', ':', d.source, ':', "
+              "CAST(d.doc_id AS VARCHAR))), 1, 8)")
+    return f"""
+WITH cut(source, cutoff) AS (VALUES
+    {vals})
+SELECT d.doc_id, d.source, {bucket} AS bucket
+FROM documents d LEFT JOIN cut c USING (source)
+WHERE {bucket} < coalesce(c.cutoff, 'g')
+"""
+
+
+@register("td_domain_mixture", _domain_mixture_sql())
+def td_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold domain-mixture sampling (the
+    reproducible, partitioning-independent alternative to sampleBy):
+    broadcast cutoff table, map-side filter, zero shuffles."""
+    from geo_linked_open_data_kg_spark.operators.sampling import (
+        domain_mixture,
+    )
+    return domain_mixture(load(spark, sf_dir, "documents"),
+                          MIXTURE_WEIGHTS, seed=_MIX_SEED)
+
+
 # ----------------------------------------------- multimodal (stubbed) ------
 
 @register("td_media_features", f"""
@@ -2247,7 +2377,8 @@ del ORACLES["kg_promoted_links"]
 # zero value-coverage loss). Retired here, AFTER _canonical_oracle() and
 # the union oracles composed their SQL. Operators + goldens remain.
 for _n in ("kg_born_in", "kg_citizen_of", "kg_spouse_pairs", "kg_parent_of",
-           "kg_headquartered_in", "kg_founded"):
+           "kg_headquartered_in", "kg_founded",
+           "kg_resided_worked", "kg_born_in_place"):
     del QUERIES[_n]
     del ORACLES[_n]
 

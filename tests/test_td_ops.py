@@ -158,7 +158,8 @@ def test_decontaminate_registry_query_nonvacuous(spark):
 # ------------------------------------------------------- edge-fold slots ---
 
 @pytest.mark.parametrize("qname,preds", [
-    ("kg_person_edges", {"bornIn", "citizenOf", "spouseOf", "parentOf"}),
+    ("kg_person_edges", {"bornIn", "citizenOf", "spouseOf", "parentOf",
+                         "residedIn", "workedAt", "bornInPlace"}),
     ("kg_org_edges", {"headquarteredIn", "foundedIn"}),
 ])
 def test_edge_union_folds_cover_every_family(spark, qname, preds):
@@ -169,3 +170,121 @@ def test_edge_union_folds_cover_every_family(spark, qname, preds):
            .agg(F.count("*").alias("n")).collect()}
     assert set(got) == preds
     assert all(n > 0 for n in got.values())
+
+
+# -------------------------------------------------------- quality filter ---
+
+def test_quality_filter_one_violator_per_rule(spark):
+    """Every rule has a dedicated violator in the sample docs, and the
+    clean doc passes all six."""
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        QUALITY_SAMPLE_DOCS,
+        quality_filter,
+    )
+    df = spark.createDataFrame(QUALITY_SAMPLE_DOCS,
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    expected = {
+        9300001: "word_count",
+        9300002: "mean_word_len",
+        9300003: "mean_word_len,repetition",
+        9300004: "alpha_ratio",
+        # the 1-3 char symbol words also drag mean length under 3
+        9300005: "mean_word_len,alpha_ratio,symbol_ratio",
+        9300006: "repetition",
+        9300007: "dup_lines",
+        9300008: "",
+    }
+    for did, reasons in expected.items():
+        r = rows[did]
+        assert r["reasons"] == reasons, (did, r["reasons"])
+        assert r["keep"] == (reasons == "")
+        assert r["n_fail"] == (0 if not reasons else reasons.count(",") + 1)
+
+
+def test_quality_filter_corpus_mostly_passes(spark):
+    """The synth word-soup corpus is clean by construction — the filter
+    must not mass-reject it (guards against inverted comparisons)."""
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        quality_filter,
+    )
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    out = quality_filter(docs).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("int")).alias("kept")).collect()[0]
+    assert out["kept"] / out["n"] > 0.9
+
+
+def test_quality_filter_plan_has_no_exchange(spark):
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        quality_filter,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = quality_filter(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan, plan
+
+
+# --------------------------------------------------------- domain mixture --
+
+def test_domain_mixture_matches_python_oracle(spark):
+    """Exact replication: the kept set equals an independent Python
+    md5 computation, doc by doc (including the default-fraction path
+    for a source absent from the weight table)."""
+    import hashlib as hl
+    from geo_linked_open_data_kg_spark.operators.sampling import (
+        cutoff_hex,
+        domain_mixture,
+    )
+    weights = {"a": 0.3, "b": 0.7, "c": 0.0}
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c", "d"][i % 4]) for i in range(400)],
+        "doc_id long, source string")
+    got = {(r["doc_id"], r["source"], r["bucket"])
+           for r in domain_mixture(docs, weights, seed="s1").collect()}
+    exp = set()
+    for i in range(400):
+        src = ["a", "b", "c", "d"][i % 4]
+        h = hl.md5(f"s1:{src}:{i}".encode()).hexdigest()[:8]
+        if h < cutoff_hex(weights.get(src, 1.0)):
+            exp.add((i, src, h))
+    assert got == exp
+    assert not any(s == "c" for _, s, _ in got)      # 0.0 drops all
+    assert sum(1 for _, s, _ in got if s == "d") == 100  # default keeps all
+
+
+def test_domain_mixture_hits_target_fractions(spark):
+    """At 3000 docs/source the realized keep rate must sit near the
+    target fraction (hash uniformity calibration)."""
+    from geo_linked_open_data_kg_spark.operators.sampling import (
+        domain_mixture,
+    )
+    weights = {"x": 0.2, "y": 0.8}
+    docs = spark.createDataFrame(
+        [(i, "x" if i < 3000 else "y") for i in range(6000)],
+        "doc_id long, source string")
+    got = {r["source"]: r["n"] for r in
+           domain_mixture(docs, weights).groupBy("source")
+           .agg(F.count("*").alias("n")).collect()}
+    assert abs(got["x"] / 3000 - 0.2) < 0.03
+    assert abs(got["y"] / 3000 - 0.8) < 0.03
+
+
+def test_domain_mixture_plan_is_broadcast_only(spark):
+    """The sampling filter must stay map-side: no shuffle Exchange —
+    only the broadcast of the cutoff table."""
+    from geo_linked_open_data_kg_spark.operators.sampling import (
+        domain_mixture,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = domain_mixture(docs, {"src0": 0.5})._jdf.queryExecution() \
+        .executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    import re
+    shuffles = [ln for ln in plan.splitlines()
+                if re.search(r"\bExchange\b", ln)
+                and "BroadcastExchange" not in ln]
+    assert not shuffles, shuffles
+    assert "BroadcastExchange" in plan
