@@ -321,21 +321,33 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     the split text) — one corpus pass, zero shuffles, no UDFs; the
     O(distinct x n) inner loop is bounded by document length, not
     corpus size, so the shape survives 100 TB unchanged.
+
+    The split/bigram arrays are BOUND as columns in staged projections
+    before any HOF consumes them: a lambda body that embeds the split
+    expression re-evaluates it per array element (HOFs run interpreted,
+    outside codegen), which turns the metric into O(n^2 x split) —
+    measured 100x slower. CollapseProject keeps the staging because the
+    aliases are non-cheap and multiply referenced.
     Output: (doc_id, n_words, top_word_frac, top_bigram_frac, n_lines,
     dup_line_frac, dup_line_char_frac), fractions rounded to 6.
     """
     # \s+ split (not tokens()'s space-only split): words must not fuse
     # across the newlines the line metrics depend on
-    w = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                 lambda x: x != "")
+    w_expr = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                      lambda x: x != "")
+    lines_expr = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    arr = documents.select("doc_id", w_expr.alias("w"),
+                           lines_expr.alias("lines"))
+    w, lines = F.col("w"), F.col("lines")
     n_words = F.size(w)
     bigrams = F.when(n_words >= 2, F.transform(
         F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(w, i, 2)))) \
         .otherwise(F.array().cast("array<string>"))
-    lines = F.filter(
-        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
-        lambda x: x != "")
+    arr2 = arr.select("doc_id", "w", "lines", bigrams.alias("bg"))
+    bg = F.col("bg")
     n_lines = F.size(lines)
     n_dup_lines = n_lines - F.size(F.array_distinct(lines))
     dup_chars = F.aggregate(
@@ -350,11 +362,11 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         return F.round(num.cast("double")
                        / F.greatest(den, F.lit(1)).cast("double"), 6)
 
-    return documents.select(
+    return arr2.select(
         "doc_id",
-        n_words.alias("n_words"),
-        frac(_top_count(w), n_words).alias("top_word_frac"),
-        frac(_top_count(bigrams), F.size(bigrams)).alias("top_bigram_frac"),
+        F.size(w).alias("n_words"),
+        frac(_top_count(w), F.size(w)).alias("top_word_frac"),
+        frac(_top_count(bg), F.size(bg)).alias("top_bigram_frac"),
         n_lines.alias("n_lines"),
         frac(n_dup_lines, n_lines).alias("dup_line_frac"),
         frac(dup_chars, tot_chars).alias("dup_line_char_frac"))
@@ -409,17 +421,22 @@ def quality_filter(documents: DataFrame) -> DataFrame:
     Output: (doc_id, n_words, keep, n_fail, reasons).
     """
     q = QUALITY_THRESHOLDS
-    w = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                 lambda x: x != "")
+    w_expr = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                      lambda x: x != "")
+    lines_expr = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    # bind the arrays before the HOFs consume them (see
+    # repetition_stats: an embedded split re-evaluates per element)
+    arr = documents.select(
+        "doc_id", w_expr.alias("w"), lines_expr.alias("lines"),
+        (F.regexp_count(F.col("text"), F.lit("#"))
+         + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))).alias("n_sym"))
+    w, lines, n_sym = F.col("w"), F.col("lines"), F.col("n_sym")
     n_words = F.size(w)
     word_chars = F.aggregate(F.transform(w, lambda x: F.length(x)),
                              F.lit(0), lambda a, x: a + x)
     n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
-    n_sym = (F.regexp_count(F.col("text"), F.lit("#"))
-             + F.regexp_count(F.col("text"), F.lit(r"\.\.\.")))
-    lines = F.filter(
-        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
-        lambda x: x != "")
     n_lines = F.size(lines)
     n_dup_lines = n_lines - F.size(F.array_distinct(lines))
 
@@ -441,11 +458,13 @@ def quality_filter(documents: DataFrame) -> DataFrame:
     reasons = F.filter(
         F.array(*[F.when(fails[r], F.lit(r)) for r in QUALITY_RULE_ORDER]),
         lambda x: x.isNotNull())
-    return documents.select(
-        "doc_id", n_words.alias("n_words"),
-        (F.size(reasons) == 0).alias("keep"),
-        F.size(reasons).alias("n_fail"),
-        F.concat_ws(",", reasons).alias("reasons"))
+    out = arr.select("doc_id", n_words.alias("n_words"),
+                     reasons.alias("reasons"))
+    return out.select(
+        "doc_id", "n_words",
+        (F.size(F.col("reasons")) == 0).alias("keep"),
+        F.size(F.col("reasons")).alias("n_fail"),
+        F.concat_ws(",", F.col("reasons")).alias("reasons"))
 
 
 def fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:
