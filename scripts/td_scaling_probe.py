@@ -51,14 +51,22 @@ from geo_linked_open_data_kg_spark.operators.textstats import (
 
 base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
     .select("doc_id", "text", "source")
-copies = [base.withColumn("doc_id",
-                          F.col("doc_id") + F.lit(i * 1_000_000_000))
-          for i in range(mult)]
-inflated = copies[0]
-for c in copies[1:]:
-    inflated = inflated.unionByName(c)
+# crossJoin a replica range instead of a mult-way union: one narrow
+# 2-branch plan at any MULT (a 256-branch union bloats planning)
+inflated = (base.crossJoin(F.broadcast(
+                spark.range(mult).select(F.col("id").alias("rep"))))
+            .select((F.col("doc_id")
+                     + F.col("rep") * F.lit(1_000_000_000)).alias("doc_id"),
+                    "text", "source"))
 tmp_in = tempfile.mkdtemp(prefix=f"td_scale_{total_cores}_")
-inflated.write.mode("overwrite").parquet(f"{tmp_in}/documents.parquet")
+# 256 files at EVERY level: the sf0.1 base is one ~MB parquet file, so
+# an un-repartitioned write lands in ONE file / one row group and every
+# level executes the timed jobs on a single split — one busy core no
+# matter how many executors (observed: a "4x2" level at 100% of one
+# CPU). Identical input layout across levels is also measurement
+# hygiene: levels must differ only in core count.
+inflated.repartition(256).write.mode("overwrite") \
+    .parquet(f"{tmp_in}/documents.parquet")
 docs = spark.read.parquet(f"{tmp_in}/documents.parquet")
 n_docs = docs.count()
 
