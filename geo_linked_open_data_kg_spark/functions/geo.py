@@ -29,6 +29,28 @@ N_BANDS = int(180 / BAND_DEG)
 LON_BITS = 21           # max cells per band = 360/0.25 = 1440 << 2^21
 
 
+COARSE_DEG = 15.0       # partition-grid box size (12 bands x 24 columns)
+
+
+def coarse_cell(lat: Column, lon: Column, deg: float = COARSE_DEG) -> Column:
+    """Coarse spatial partition cell (pure Column): a deg x deg box id,
+    ``band * n_cols + col``. This is the PARTITION grid — the H3-analog
+    layout key the north rule asks the materialized graph tables to be
+    partitioned by — not the fine join grid (`cell_id` above): a
+    partition spec wants hundreds of values (file/partition pruning),
+    the join grid wants tens of thousands (candidate pruning).
+    Poles clamp into the top band; longitude wraps at the antimeridian.
+    """
+    n_bands = int(180 / deg)
+    n_cols = int(360 / deg)
+    band = F.least(F.floor((lat + F.lit(90.0)) / F.lit(deg)),
+                   F.lit(n_bands - 1))
+    col = F.least(F.floor(F.pmod(lon + F.lit(180.0), F.lit(360.0))
+                          / F.lit(deg)),
+                  F.lit(n_cols - 1))
+    return (band * n_cols + col).cast("int")
+
+
 def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """Great-circle distance in km, pure Column math (whole-stage codegen).
 

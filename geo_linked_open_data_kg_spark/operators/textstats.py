@@ -263,6 +263,17 @@ PII_SAMPLE_DOCS = [
 ]
 
 
+def redact_pii(c: Column) -> Column:
+    """The redaction transform itself (pure Column): every PII match
+    replaced by its [EMAIL]/[IPV4]/[PHONE] placeholder in PII_ORDER.
+    Shared by pii_stats (audit counts + hash) and the curation
+    pipeline's scrub stage (rewritten text)."""
+    red = c
+    for k in PII_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
+    return red
+
+
 def pii_stats(documents: DataFrame) -> DataFrame:
     """PII detection/redaction for training-data hygiene: per-document
     match counts for email / IPv4 / US-phone patterns plus the md5 of
@@ -277,9 +288,7 @@ def pii_stats(documents: DataFrame) -> DataFrame:
     text = F.col("text")
     counts = {k: F.regexp_count(text, F.lit(p)).cast("long")
               for k, p in PII_PATTERNS.items()}
-    red = text
-    for k in PII_ORDER:
-        red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
+    red = redact_pii(text)
     total = counts["email"] + counts["ipv4"] + counts["phone"]
     return documents.select(
         "doc_id",

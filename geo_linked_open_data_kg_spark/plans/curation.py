@@ -1,0 +1,168 @@
+"""End-to-end training-data curation pipeline over the documents table.
+
+    documents ──[1] quality verdicts (Gopher/C4 rules) ─┐
+                [2] PII audit + scrub ──────────────────┤
+                [3] near-dup groups → keeper decisions ─┤
+                [4] benchmark decontamination ──────────┤
+                [5] domain-mixture sampling ────────────┤
+                                                        ▼
+    [6] curated corpus (ONE text write, partitioned by source)
+    [7] sequence packing  [8] funnel metrics table
+
+This is the `run_pipeline` pattern (plans/pipeline.py) applied to the
+LLM-data side of the engine: every stage is a pure DataFrame transform
+checkpointed through CheckpointStore (resume skips completed stages;
+_metrics/_lineage written per stage), and the composition is the
+published pre-training recipe order — filter before dedup (dropped docs
+never pay for shingling), dedup before decontamination (one keeper per
+group is checked, not every member), sample last (so mixture fractions
+apply to the CLEAN pool), pack last of all.
+
+Scale shape — the design decision that matters at 100 TB: stages 1-5
+materialize DECISION tables (verdicts, group memberships, contamination
+flags, sampling buckets — all doc_id-keyed and narrow), never the
+corpus text. The text is written exactly ONCE, at stage 6, after every
+decision is in; a naive stage-per-copy layout would write the corpus
+3-4 times. The scrubbed text the dedup/decontamination stages consume
+is a localCheckpointed in-flight stream shared across consumers within
+the run, not a persisted copy. Production target is Iceberg (snapshot
+per stage); parquet paths keep the local harness catalog-free, same
+protocol (checkpoint.py module doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geo_linked_open_data_kg_spark.operators.dedup import (
+    decontaminate,
+    duplicate_groups,
+)
+from geo_linked_open_data_kg_spark.operators.packing import sequence_packing
+from geo_linked_open_data_kg_spark.operators.sampling import domain_mixture
+from geo_linked_open_data_kg_spark.operators.textstats import (
+    pii_stats,
+    quality_filter,
+    redact_pii,
+)
+from geo_linked_open_data_kg_spark.plans.checkpoint import CheckpointStore
+
+# stage names in funnel order (curation_funnel reports them in this order)
+STAGES = ["quality", "pii", "dup_groups", "contamination", "mixture",
+          "curated", "sequences"]
+
+
+def run_curation_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
+                          *,
+                          documents: DataFrame | None = None,
+                          eval_docs: DataFrame | None = None,
+                          weights: dict[str, float] | None = None,
+                          seed: str = "mix-v1",
+                          budget: int = 512,
+                          decontam_k: int = 5,
+                          force: bool = False) -> dict[str, DataFrame]:
+    """Run (or resume) the curation pipeline; returns the stage outputs.
+
+    `documents` overrides the default `{sf_dir}/documents.parquet` scan
+    (tests inject crafted corpora); it must carry (doc_id, text,
+    source). `eval_docs` (doc_id, text) enables the decontamination
+    stage — omitted, the stage records zero contaminated docs rather
+    than silently skipping (no silent caps: the funnel always shows
+    the stage ran). `weights` maps source -> keep fraction for the
+    mixture stage (absent sources keep everything).
+    """
+    ckpt = CheckpointStore(out_dir)
+    if documents is None:
+        documents = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                     .select("doc_id", "text", "source"))
+
+    quality = ckpt.get_or_compute(
+        spark, "quality", lambda: quality_filter(documents), force=force)
+
+    pii = ckpt.get_or_compute(
+        spark, "pii", lambda: pii_stats(documents), force=force)
+
+    # the in-flight scrubbed survivors every downstream stage consumes:
+    # quality-kept docs with PII placeholders already substituted, so
+    # dedup/decontamination/packing all observe the text that will ship
+    # (two docs differing only in a redacted email ARE duplicates)
+    kept = (documents
+            .join(quality.where(F.col("keep")).select("doc_id"), "doc_id")
+            .select("doc_id", "source",
+                    redact_pii(F.col("text")).alias("text"))
+            .localCheckpoint(eager=False))
+
+    dup_groups = ckpt.get_or_compute(
+        spark, "dup_groups", lambda: duplicate_groups(kept), force=force)
+
+    def _contamination() -> DataFrame:
+        if eval_docs is None:
+            return spark.createDataFrame(
+                [], "doc_id long, n_shared_shingles int, n_eval_docs int")
+        return decontaminate(kept, eval_docs, k=decontam_k)
+
+    contamination = ckpt.get_or_compute(
+        spark, "contamination", _contamination, force=force)
+
+    # survivors after dedup (drop non-keeper group members) and
+    # decontamination — both anti-joins against narrow decision tables
+    dropped_dups = dup_groups.where(~F.col("is_keeper")).select("doc_id")
+    clean = (kept
+             .join(dropped_dups, "doc_id", "left_anti")
+             .join(contamination.select("doc_id"), "doc_id", "left_anti"))
+
+    mixture = ckpt.get_or_compute(
+        spark, "mixture",
+        lambda: domain_mixture(clean, weights or {}, seed=seed),
+        force=force)
+
+    curated = ckpt.get_or_compute(
+        spark, "curated",
+        lambda: clean.join(mixture.select("doc_id"), "doc_id"),
+        partition_by=["source"], force=force)
+
+    sequences = ckpt.get_or_compute(
+        spark, "sequences",
+        lambda: sequence_packing(curated, budget=budget), force=force)
+
+    funnel = ckpt.get_or_compute(
+        spark, "funnel",
+        lambda: _funnel_table(documents, quality, dup_groups,
+                              contamination, curated, sequences),
+        force=force)
+
+    return {"quality": quality, "pii": pii, "dup_groups": dup_groups,
+            "contamination": contamination, "mixture": mixture,
+            "curated": curated, "sequences": sequences, "funnel": funnel}
+
+
+def _funnel_table(documents: DataFrame, quality: DataFrame,
+                  dup_groups: DataFrame, contamination: DataFrame,
+                  curated: DataFrame, sequences: DataFrame) -> DataFrame:
+    """One queryable row per funnel step: docs entering, surviving and
+    dropped at each stage, plus per-rule quality drop counts — the
+    pipeline's own "no silent caps" audit. Every input except
+    `documents` is an already-checkpointed decision table, so this is
+    counts over materialized parquet, not corpus recomputation."""
+    per_rule = (quality.where(~F.col("keep"))
+                .select(F.explode(F.split(F.col("reasons"), ","))
+                        .alias("rule"))
+                .groupBy("rule").agg(F.count("*").alias("value"))
+                .select(F.concat(F.lit("quality_drop:"),
+                                 F.col("rule")).alias("step"), "value"))
+    scalars = [
+        ("docs_in", documents.count()),
+        ("quality_kept", quality.where(F.col("keep")).count()),
+        ("dup_members_dropped",
+         dup_groups.where(~F.col("is_keeper")).count()),
+        ("contaminated_dropped", contamination.count()),
+        ("curated_docs", curated.count()),
+        ("sequences_packed",
+         sequences.agg(F.countDistinct("seq_id")).collect()[0][0] or 0),
+        ("tokens_packed",
+         sequences.agg(F.sum("n_tokens")).collect()[0][0] or 0),
+    ]
+    scalar_df = documents.sparkSession.createDataFrame(
+        [(s, int(v)) for s, v in scalars], "step string, value long")
+    return scalar_df.unionByName(per_rule)

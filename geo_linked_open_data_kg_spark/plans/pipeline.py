@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geo_linked_open_data_kg_spark.functions.geo import cell_id
+from geo_linked_open_data_kg_spark.functions.geo import cell_id, coarse_cell
 from geo_linked_open_data_kg_spark.operators import (
     admin,
     biography,
@@ -151,8 +151,30 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         lambda: build_nodes(places, wd, persons, orgs, post_offices),
         partition_by=["label"], force=force)
 
+    def _edges() -> DataFrame:
+        # north rule: node/edge tables "partitioned by H3 cell and
+        # predicate". The edge's layout cell is its SUBJECT's coarse
+        # grid box (functions/geo.coarse_cell): spatial queries prune
+        # to (pred, cell) partitions; person/org-subject edges (no
+        # coordinate) land in cell = -1. The subj->cell dim is keyed,
+        # deduped and tiny relative to the edge table (nodes vs
+        # triples), so this is one equi-join Catalyst broadcasts here
+        # and would shuffle-hash at cluster scale; the explicit
+        # repartition on the partition spec keeps the write at one
+        # file per (pred, cell) dir instead of one per task per dir.
+        subj_cells = (nodes
+                      .where(F.col("latitude").isNotNull())
+                      .groupBy(F.col("id").alias("subj"))
+                      .agg(F.min(coarse_cell(F.col("latitude"),
+                                             F.col("longitude")))
+                           .alias("cell")))
+        return (canon.join(subj_cells, "subj", "left")
+                .withColumn("cell", F.coalesce(F.col("cell"), F.lit(-1)))
+                .repartition("pred", "cell")
+                .select(*TRIPLE_COLS, "cell"))
+
     edges = ckpt.get_or_compute(
-        spark, "edges", lambda: canon, partition_by=["pred"], force=force)
+        spark, "edges", _edges, partition_by=["pred", "cell"], force=force)
 
     return {"linked_mentions": linked, "mention_triples": mention_t,
             "gazetteer_triples": gaz_triples, "canonical_triples": canon,

@@ -1,0 +1,160 @@
+"""End-to-end curation pipeline: funnel semantics, determinism, resume.
+
+A crafted corpus where every stage has a known victim:
+  1  good web doc (60 distinct words)            -> keeper, curated
+  2  exact copy of 1                             -> dup member, dropped
+  3  near-dup of 1 (one word changed)            -> dup member, dropped
+  4  "a a a a a"                                 -> quality drop
+  5  good web doc with an email address          -> curated, redacted
+  6  good web doc sharing a 5-gram with eval set -> contaminated, dropped
+  7  good code doc                               -> mixture drop (f=0.0)
+  8  good code doc                               -> mixture drop (f=0.0)
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from geo_linked_open_data_kg_spark.plans.curation import (  # noqa: E402
+    run_curation_pipeline,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+D1 = " ".join(f"alpha{i:02d}" for i in range(60))
+D3 = D1.replace("alpha30", "changed")
+D5 = ("contact the research team via alice@example.com for details "
+      "about the dataset release")
+EVAL = "the quick brown fox jumps over the lazy dog tonight"
+D6 = ("students reported that the quick brown fox jumps over the lazy "
+      "dog tonight during the exam")
+# 7 and 8 must NOT be near-dups of each other -> disjoint vocabularies
+CODE7 = " ".join(f"code{i:02d}" for i in range(12))
+CODE8 = " ".join(f"lang{i:02d}" for i in range(12))
+
+ROWS = [
+    (1, D1, "web"), (2, D1, "web"), (3, D3, "web"),
+    (4, "a a a a a", "web"), (5, D5, "web"), (6, D6, "web"),
+    (7, CODE7, "code"), (8, CODE8, "code"),
+]
+
+
+@pytest.fixture(scope="module")
+def out_dir():
+    d = tempfile.mkdtemp(prefix="curation_ckpt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string, "
+                                       "source string")
+
+
+@pytest.fixture(scope="module")
+def eval_docs(spark):
+    return spark.createDataFrame([(100, EVAL)], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus, eval_docs, out_dir):
+    return run_curation_pipeline(
+        spark, SF_DIR, out_dir, documents=corpus, eval_docs=eval_docs,
+        weights={"code": 0.0}, budget=64)
+
+
+def test_curated_set_is_exactly_the_survivors(result):
+    curated = {r["doc_id"] for r in result["curated"].collect()}
+    assert curated == {1, 5}
+
+
+def test_each_stage_dropped_its_victim(result):
+    q = {r["doc_id"]: r["keep"] for r in result["quality"].collect()}
+    assert q[4] is False and q[1] is True
+    dropped = {r["doc_id"] for r in
+               result["dup_groups"].where(~F.col("is_keeper")).collect()}
+    assert dropped == {2, 3}  # keeper = min doc_id on equal quality
+    contaminated = {r["doc_id"] for r in result["contamination"].collect()}
+    assert contaminated == {6}
+    mixture = {r["doc_id"] for r in result["mixture"].collect()}
+    assert 7 not in mixture and 8 not in mixture  # f=0.0 drops all code
+
+
+def test_curated_text_is_scrubbed(result):
+    rows = {r["doc_id"]: r["text"] for r in result["curated"].collect()}
+    assert "[EMAIL]" in rows[5]
+    assert "@" not in rows[5]
+
+
+def test_funnel_accounts_for_every_drop(result):
+    f = {r["step"]: r["value"] for r in result["funnel"].collect()}
+    assert f["docs_in"] == 8
+    assert f["quality_kept"] == 7
+    assert f["dup_members_dropped"] == 2
+    assert f["contaminated_dropped"] == 1
+    assert f["curated_docs"] == 2
+    assert f["quality_drop:word_count"] == 1
+    assert f["tokens_packed"] == 60 + 12  # d1 + d5 (redacted) word counts
+
+
+def test_sequences_cover_exactly_the_curated_docs(result):
+    seq = {r["doc_id"]: r for r in result["sequences"].collect()}
+    assert set(seq) == {1, 5}
+    # doc_id order, budget 64: d1's 60 tokens fill [0,60) of seq 0,
+    # d5's 12 start at offset 60 and straddle into seq 1
+    assert (seq[1]["seq_id"], seq[1]["seq_offset"]) == (0, 0)
+    assert (seq[5]["seq_id"], seq[5]["seq_offset"]) == (0, 60)
+
+
+def test_resume_skips_completed_stages(spark, corpus, eval_docs, out_dir):
+    import time
+    t0 = time.time()
+    res = run_curation_pipeline(
+        spark, SF_DIR, out_dir, documents=corpus, eval_docs=eval_docs,
+        weights={"code": 0.0}, budget=64)
+    elapsed = time.time() - t0
+    assert {r["doc_id"] for r in res["curated"].collect()} == {1, 5}
+    assert elapsed < 20, f"resume took {elapsed:.0f}s — stages re-ran"
+
+
+def test_rerun_in_fresh_dir_is_deterministic(spark, corpus, eval_docs,
+                                             result):
+    d = tempfile.mkdtemp(prefix="curation_ckpt2_")
+    try:
+        res = run_curation_pipeline(
+            spark, SF_DIR, d, documents=corpus, eval_docs=eval_docs,
+            weights={"code": 0.0}, budget=64)
+        a = sorted(map(tuple, result["curated"].collect()))
+        b = sorted(map(tuple, res["curated"].collect()))
+        assert a == b
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_smoke_on_driver_corpus(spark):
+    """The real documents table end-to-end, no eval set, keep-all
+    mixture: curated == quality-kept minus dup members, and the funnel
+    balances exactly."""
+    d = tempfile.mkdtemp(prefix="curation_sf_")
+    try:
+        res = run_curation_pipeline(spark, SF_DIR, d)
+        f = {r["step"]: r["value"] for r in res["funnel"].collect()}
+        assert f["docs_in"] > 0
+        assert f["contaminated_dropped"] == 0
+        assert f["curated_docs"] == (f["quality_kept"]
+                                     - f["dup_members_dropped"])
+        assert res["curated"].count() == f["curated_docs"]
+        # partitioned by source on disk
+        import os
+        assert any(p.startswith("source=")
+                   for p in os.listdir(f"{d}/curated"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -109,6 +109,28 @@ def test_high_latitude_cell_boundary_recall(spark):
     assert n_missed == 0, f"cell cover missed {n_missed}/{n_brute} pairs"
 
 
+def test_coarse_cell_grid_edges(spark):
+    """Partition-grid goldens: pole clamp, antimeridian wrap, and the
+    band*24+col id arithmetic at 15 degrees."""
+    from geo_linked_open_data_kg_spark.functions.geo import coarse_cell
+    rows = [
+        # (lat, lon, expected): band = floor((lat+90)/15) clamped <= 11,
+        # col = floor(mod(lon+180, 360)/15) clamped <= 23
+        (0.0, 0.0, 6 * 24 + 12),
+        (-90.0, -180.0, 0),          # south-west corner of the grid
+        (90.0, 180.0, 11 * 24 + 0),  # pole clamps, antimeridian wraps
+        (89.999, 179.999, 11 * 24 + 23),
+        (43.65, -79.38, 8 * 24 + 6),  # Toronto
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, lat=a, lon=o) for i, (a, o, _) in enumerate(rows)])
+    got = {r["i"]: r["c"] for r in
+           df.select("i", coarse_cell(F.col("lat"),
+                                      F.col("lon")).alias("c")).collect()}
+    for i, (_, _, want) in enumerate(rows):
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_connected_components_chain_and_star(spark):
     edges = spark.createDataFrame([
         Row(subj="b", obj="a"), Row(subj="c", obj="b"),  # chain c-b-a

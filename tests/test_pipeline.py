@@ -44,9 +44,25 @@ def test_pipeline_end_to_end(spark, out_dir):
     # canonical rewrite: no non-sameAs self loops
     assert canon.where((F.col("pred") != "sameAs")
                        & (F.col("subj") == F.col("obj"))).count() == 0
-    # edges partitioned by pred on disk
+    # edges partitioned by (pred, cell) on disk — the north rule's
+    # "H3 cell and predicate" layout; the join back to subject
+    # coordinates must not duplicate or drop edges
     edges = spark.read.parquet(f"{out_dir}/edges")
     assert edges.count() == canon.count()
+    assert "cell" in edges.columns
+    import os
+    pred_dirs = [d for d in os.listdir(f"{out_dir}/edges")
+                 if d.startswith("pred=")]
+    assert pred_dirs, "edges not hive-partitioned by pred"
+    cell_dirs = [d for d in os.listdir(f"{out_dir}/edges/{pred_dirs[0]}")
+                 if d.startswith("cell=")]
+    assert cell_dirs, "edges not sub-partitioned by cell"
+    # place-subject edges carry a real cell; person-subject edges the
+    # -1 sentinel — both non-vacuously
+    assert edges.where((F.col("pred") == "nearTo")
+                       & (F.col("cell") >= 0)).count() > 0
+    assert edges.where((F.col("pred") == "bornIn")
+                       & (F.col("cell") == -1)).count() > 0
 
 
 def test_pipeline_resume_skips_completed_stages(spark, out_dir):
