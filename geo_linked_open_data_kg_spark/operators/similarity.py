@@ -247,3 +247,38 @@ def ann_ivf_topk(embeddings: DataFrame,
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+def cluster_profile(embeddings: DataFrame,
+                    centroids: DataFrame | list) -> DataFrame:
+    """Corpus diversity profile over the IVF quantizer's cells: per
+    cluster, its member count, corpus share, and mean/min cosine to its
+    own centroid (tightness). The curation-side reading: a cluster
+    whose share dwarfs the rest is an over-represented mode (boilerplate,
+    templated spam) — the standard embedding-space complement to the
+    per-source mixture weights (operators/sampling.py), telling you WHAT
+    is over-represented rather than WHERE it came from.
+
+    Scale shape: assignment is pure map-side against centroid literals
+    (ivf_assign), then ONE narrow groupBy(cid) of pre-aggregated
+    partials; the 1-row corpus total rejoins via a literal-free
+    crossJoin of a 1-row aggregate (the dedup_cap_metrics pattern).
+    Output: (cid, n_vecs, share, avg_cos, min_cos) — share rounded 6dp.
+    """
+    cents = (_collect_cents(centroids)
+             if isinstance(centroids, DataFrame) else centroids)
+    assigned = ivf_assign(embeddings, cents)
+    own = _cent_cos_structs(F.col("emb"), F.col("nrm"), cents)
+    member_cos = (-F.array_min(own)["negcos"]).alias("own_cos")
+    per_cell = (assigned.select("cid", member_cos)
+                .groupBy("cid")
+                .agg(F.count("*").alias("n_vecs"),
+                     F.round(F.avg("own_cos"), 6).alias("avg_cos"),
+                     F.min("own_cos").alias("min_cos")))
+    total = per_cell.agg(F.sum("n_vecs").alias("n_total"))
+    return (per_cell.crossJoin(total)
+            .select("cid", "n_vecs",
+                    F.round(F.col("n_vecs") / F.col("n_total"), 6)
+                    .alias("share"),
+                    "avg_cos", "min_cos")
+            .orderBy("cid"))

@@ -148,3 +148,86 @@ def stream_link_mentions(doc_stream: DataFrame, places: DataFrame,
     if available_now:
         q.awaitTermination(timeout_sec)
     return q
+
+
+CORPUS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("source", T.StringType()),
+])
+
+
+def read_corpus_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (spark.readStream
+            .schema(CORPUS_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(path))
+
+
+def stream_curate_documents(doc_stream: DataFrame, out_path: str,
+                            checkpoint_dir: str,
+                            eval_docs: DataFrame | None = None,
+                            weights: dict[str, float] | None = None,
+                            seed: str = "mix-v1",
+                            decontam_k: int = 5,
+                            available_now: bool = True,
+                            timeout_sec: int = 300):
+    """Filter-at-ingest: each micro-batch of raw documents runs the
+    curation pipeline's PER-DOCUMENT stages — quality verdicts, PII
+    scrub, benchmark decontamination against a PINNED eval-shingle
+    snapshot, deterministic hash-threshold mixture sampling — and
+    appends survivors to an idempotent per-batch-partition sink.
+
+    Streamable because every included decision is a pure function of
+    the single row (the mixture hash is content-addressed, so the same
+    doc keeps or drops identically in any batch; the eval set is a
+    frozen dimension like `places` in stream_link_mentions):
+    batch(all docs) == union of batch(drops) EXACTLY. Near-dup grouping
+    is deliberately excluded — it is the one cross-document stage, and
+    its streaming spelling is a periodic `duplicate_groups` compaction
+    over the curated sink, not per-batch state (a batch-global LSH
+    index would reintroduce exactly the unbounded state Spark's
+    watermark model exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from geo_linked_open_data_kg_spark.operators.dedup import decontaminate
+    from geo_linked_open_data_kg_spark.operators.sampling import (
+        domain_mixture,
+    )
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        quality_filter,
+        redact_pii,
+    )
+    _guard_fresh_checkpoint(out_path, checkpoint_dir)
+    pinned_eval = (eval_docs.localCheckpoint(eager=True)
+                   if eval_docs is not None else None)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        kept = (batch_df
+                .join(quality_filter(batch_df).where(F.col("keep"))
+                      .select("doc_id"), "doc_id")
+                .select("doc_id", "source",
+                        redact_pii(F.col("text")).alias("text")))
+        if pinned_eval is not None:
+            kept = kept.join(
+                decontaminate(kept, pinned_eval, k=decontam_k)
+                .select("doc_id"), "doc_id", "left_anti")
+        curated = kept.join(
+            domain_mixture(kept, weights or {}, seed=seed)
+            .select("doc_id"), "doc_id")
+        (curated
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(out_path))
+
+    writer = (doc_stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination(timeout_sec)
+    return q

@@ -307,3 +307,32 @@ def test_media_decoder_seam_swap(spark):
                    .groupBy("media_ref")
                    .agg(F.count("*").alias("n")).collect()}
     assert len(stub_counts) > 1, stub_counts
+
+
+def test_cluster_profile_diversity_audit(spark):
+    """cluster_profile: shares sum to 1, counts sum to the corpus, every
+    populated cell's tightness stats are valid cosines, and the per-cell
+    counts agree exactly with an independent ivf_assign groupBy."""
+    from pyspark.sql import functions as F
+
+    from geo_linked_open_data_kg_spark.operators.similarity import (
+        _collect_cents,
+        cluster_profile,
+        ivf_assign,
+    )
+    from geo_linked_open_data_kg_spark.sources.registry import load
+
+    emb = load(spark, SF_DIR, "embeddings").cache()
+    cents_df = load(spark, SF_DIR, "kmeans_centroids")
+    prof = cluster_profile(emb, cents_df).collect()
+    assert len(prof) > 1, "quantizer should populate several cells"
+    n_total = emb.count()
+    assert sum(r["n_vecs"] for r in prof) == n_total
+    assert abs(sum(r["share"] for r in prof) - 1.0) < 1e-4
+    for r in prof:
+        assert -1.0 - 1e-9 <= r["min_cos"] <= r["avg_cos"] <= 1.0 + 1e-9, r
+    want = {(r["cid"], r["n"]) for r in
+            ivf_assign(emb, _collect_cents(cents_df))
+            .groupBy("cid").agg(F.count("*").alias("n")).collect()}
+    got = {(r["cid"], r["n_vecs"]) for r in prof}
+    assert got == want

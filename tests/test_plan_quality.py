@@ -233,3 +233,36 @@ def test_pii_and_repetition_are_zero_exchange(spark):
     for name in ("td_pii_stats", "td_repetition_stats"):
         plan = _plan(q.QUERIES[name](spark, SF_DIR))
         assert "Exchange" not in plan, f"{name} plans a shuffle"
+
+
+def test_curation_filter_stages_are_map_side(spark):
+    """The curation pipeline's per-document stages must never shuffle
+    the corpus: quality verdicts are pure Column work (zero exchanges);
+    the mixture filter's only exchange is the broadcast of the tiny
+    cutoff dim — the corpus itself stays map-side."""
+    from pyspark.sql import functions as F
+
+    from geo_linked_open_data_kg_spark.operators.sampling import (
+        domain_mixture,
+    )
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        quality_filter,
+        redact_pii,
+    )
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text", "source"))
+
+    plan = _plan(quality_filter(docs))
+    assert "Exchange" not in plan, "quality_filter plans a shuffle"
+
+    scrub = docs.select("doc_id", "source",
+                        redact_pii(F.col("text")).alias("text"))
+    plan = _plan(scrub)
+    assert "Exchange" not in plan, "PII scrub plans a shuffle"
+
+    plan = _plan(domain_mixture(docs, {"web": 0.5})) \
+        .split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in plan, \
+        "mixture must not shuffle the corpus"
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan, \
+        "the cutoff dim should broadcast"

@@ -336,3 +336,80 @@ def test_stream_linking_cascade_matches_batch_with_pinned_stoplist(
     want = {tuple(r) for r in
             link_mentions(docs, places, stop_surfaces=stop).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_curation_matches_batch_per_doc_stages(spark, tmpdir):
+    """Filter-at-ingest parity: two corpus drops through the streaming
+    curation stages (quality + scrub + pinned-eval decontamination +
+    mixture) must equal one batch pass over the full corpus — every
+    included decision is per-document, so drop order cannot change any
+    verdict, redaction, contamination flag or sampling bucket."""
+    import glob
+    import os
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from geo_linked_open_data_kg_spark.operators.dedup import decontaminate
+    from geo_linked_open_data_kg_spark.operators.sampling import (
+        domain_mixture,
+    )
+    from geo_linked_open_data_kg_spark.operators.textstats import (
+        quality_filter,
+        redact_pii,
+    )
+    from geo_linked_open_data_kg_spark.streaming.documents import (
+        read_corpus_stream,
+        stream_curate_documents,
+    )
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text", "source").cache())
+    eval_docs = (docs.orderBy("doc_id").limit(3)
+                 .select((F.col("doc_id") + 900000000).alias("doc_id"),
+                         "text").cache())
+    weights = {"web": 0.5}
+
+    src = f"{tmpdir}/corpus_stream"
+    out = f"{tmpdir}/curated_out"
+    os.makedirs(src, exist_ok=True)
+
+    def drop(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/{name}")
+        part = glob.glob(f"{tmpdir}/{name}/part-*.parquet")[0]
+        sh.move(part, f"{src}/{name}.parquet")
+        sh.rmtree(f"{tmpdir}/{name}")
+
+    drop(docs.where(F.crc32(F.col("doc_id").cast("string")) % 2 == 0),
+         "cdrop_a")
+    stream_curate_documents(read_corpus_stream(spark, src), out,
+                            f"{tmpdir}/ck_cur", eval_docs=eval_docs,
+                            weights=weights)
+    drop(docs.where(F.crc32(F.col("doc_id").cast("string")) % 2 == 1),
+         "cdrop_b")
+    stream_curate_documents(read_corpus_stream(spark, src), out,
+                            f"{tmpdir}/ck_cur", eval_docs=eval_docs,
+                            weights=weights)
+
+    got = {tuple(r) for r in
+           spark.read.parquet(out).drop("_batch_id")
+           .select("doc_id", "source", "text").collect()}
+
+    kept = (docs.join(quality_filter(docs).where(F.col("keep"))
+                      .select("doc_id"), "doc_id")
+            .select("doc_id", "source",
+                    redact_pii(F.col("text")).alias("text")))
+    kept = kept.join(decontaminate(kept, eval_docs).select("doc_id"),
+                     "doc_id", "left_anti")
+    want = {tuple(r) for r in
+            kept.join(domain_mixture(kept, weights).select("doc_id"),
+                      "doc_id")
+            .select("doc_id", "source", "text").collect()}
+    assert got == want and len(got) > 0
+    # the planted eval overlap is non-vacuous: its 3 source docs were
+    # quality-kept or not, but any kept one must have been dropped
+    dropped_contam = (docs.join(quality_filter(docs)
+                                .where(F.col("keep")).select("doc_id"),
+                                "doc_id").count()
+                      - kept.count())
+    assert dropped_contam >= 1, "decontamination stage never fired"
