@@ -93,8 +93,21 @@ def run_curation_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                     redact_pii(F.col("text")).alias("text"))
             .localCheckpoint(eager=False))
 
+    # CC convergence audit, same contract as the KG pipeline's
+    # canonicalization stage: stats copied out immediately post-compute
+    cc_stats: dict = {}
+
+    def _dup_groups() -> DataFrame:
+        from geo_linked_open_data_kg_spark.operators import canonicalize
+        out = duplicate_groups(kept)
+        cc_stats.update(canonicalize.LAST_CC_STATS)
+        return out
+
     dup_groups = ckpt.get_or_compute(
-        spark, "dup_groups", lambda: duplicate_groups(kept), force=force)
+        spark, "dup_groups", _dup_groups, force=force,
+        extra_metrics_fn=lambda: [
+            ("cc_rounds_run", cc_stats.get("rounds_run", -1)),
+            ("cc_converged", int(cc_stats.get("converged", False)))])
 
     def _contamination() -> DataFrame:
         if eval_docs is None:

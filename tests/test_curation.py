@@ -105,6 +105,13 @@ def test_funnel_accounts_for_every_drop(result):
     assert f["tokens_packed"] == 60 + 12  # d1 + d5 (redacted) word counts
 
 
+def test_dedup_stage_records_cc_convergence(spark, result, out_dir):
+    m = {r["metric"]: r["value"] for r in
+         spark.read.parquet(f"{out_dir}/_metrics/dup_groups").collect()}
+    assert m["cc_converged"] == 1, m
+    assert 1 <= m["cc_rounds_run"] <= 25, m
+
+
 def test_sequences_cover_exactly_the_curated_docs(result):
     seq = {r["doc_id"]: r for r in result["sequences"].collect()}
     assert set(seq) == {1, 5}
