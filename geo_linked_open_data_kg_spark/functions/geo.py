@@ -167,3 +167,41 @@ def make_cover_cells_udf(radius_km: float):
         return pd.Series(cover_cells_np(la, lo, radius_km))
 
     return cover_cells
+
+
+def coarse_cells_covering(lat: float, lon: float, radius_km: float,
+                          deg: float = COARSE_DEG) -> list[int]:
+    """COARSE partition-grid cells intersecting the radius_km disc — the
+    driver-side twin of `coarse_cell` (same band/column arithmetic), used
+    by serving queries to enumerate the (pred, cell) partition dirs worth
+    scanning. Pure Python: runs once per query over a handful of cells,
+    never per row."""
+    import math
+
+    n_bands = int(180 / deg)
+    n_cols = int(360 / deg)
+    r_deg = radius_km / KM_PER_DEG_LAT
+    b0 = max(0, min(n_bands - 1, math.floor((lat - r_deg + 90.0) / deg)))
+    b1 = max(0, min(n_bands - 1, math.floor((lat + r_deg + 90.0) / deg)))
+    cells: set[int] = set()
+    for b in range(b0, b1 + 1):
+        lo_edge = b * deg - 90.0
+        phi = min(max(abs(lo_edge), abs(lo_edge + deg)), 89.9)
+        cos_phi = math.cos(math.radians(phi))
+        if cos_phi < 0.02:
+            # polar band: parallels shrink below the cos floor the fine
+            # grid tolerates, so enumerate the WHOLE ring — n_cols dirs
+            # is nothing, and recall must not depend on a clamp
+            # (hypothesis: test_coarse_cover_contains_points_within_radius)
+            dlon = 180.0
+        else:
+            dlon = min(180.0, radius_km / (KM_PER_DEG_LAT * cos_phi))
+        i0 = math.floor((lon - dlon + 180.0) / deg)
+        i1 = math.floor((lon + dlon + 180.0) / deg)
+        if i1 - i0 + 1 >= n_cols:
+            cols = range(n_cols)
+        else:
+            cols = (i % n_cols for i in range(i0, i1 + 1))
+        for c in cols:
+            cells.add(b * n_cols + min(c, n_cols - 1))
+    return sorted(cells)

@@ -144,3 +144,65 @@ def test_merge_upsert_incremental_document_update(spark):
     finally:
         import shutil as sh
         sh.rmtree(d, ignore_errors=True)
+
+
+def test_nearby_edges_serving_is_partition_pruned_and_exact(spark, out_dir):
+    """The (pred, cell) layout's payoff: a point-radius serving query
+    scans only the pruned partition dirs (PartitionFilters on pred AND
+    cell) yet returns exactly the full-scan answer."""
+    from geo_linked_open_data_kg_spark.functions.geo import haversine_km
+    from geo_linked_open_data_kg_spark.operators.serving import (
+        nearby_edges,
+    )
+
+    nodes = spark.read.parquet(f"{out_dir}/nodes")
+    p = (nodes.where(F.col("latitude").isNotNull())
+         .orderBy("id").first())
+    qlat, qlon = float(p["latitude"]), float(p["longitude"])
+
+    res = nearby_edges(spark, out_dir, "nearTo", qlat, qlon, 50.0)
+    got = {(r["subj"], r["obj"], r["dist_km"]) for r in res.collect()}
+
+    # brute reference: full edge scan, same coordinate refine
+    coords = (nodes.where(F.col("latitude").isNotNull())
+              .groupBy(F.col("id").alias("subj"))
+              .agg(F.min("latitude").alias("la"),
+                   F.min("longitude").alias("lo")))
+    brute = (spark.read.parquet(f"{out_dir}/edges")
+             .where(F.col("pred") == "nearTo")
+             .join(coords, "subj")
+             .withColumn("dist_km",
+                         F.round(haversine_km(F.col("la"), F.col("lo"),
+                                              F.lit(qlat), F.lit(qlon)),
+                                 3))
+             .where(F.col("dist_km") <= 50.0))
+    want = {(r["subj"], r["obj"], r["dist_km"]) for r in brute.collect()}
+    assert got == want
+    assert got, "serving query found nothing near a dense place"
+
+    # pruning evidence: the edge scan carries PartitionFilters on both
+    # layout keys (directory pruning, not post-scan filtering)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines()
+                  if "PartitionFilters" in ln]
+    assert any("cell" in ln and "pred" in ln for ln in scan_lines), plan
+
+
+def test_coarse_cells_covering_matches_column_twin(spark):
+    """Driver-side coarse cover must agree with the Column coarse_cell:
+    every probe point's own cell is in its cover, for a sweep of points
+    including band edges, the antimeridian, and polar clamps."""
+    from geo_linked_open_data_kg_spark.functions.geo import (
+        coarse_cell,
+        coarse_cells_covering,
+    )
+    pts = [(la, lo) for la in (-89.9, -60.0, -15.0, 0.0, 14.99, 15.0,
+                               44.9, 75.0, 89.9)
+           for lo in (-180.0, -179.9, -90.0, -0.1, 0.0, 44.9, 120.0,
+                      179.9)]
+    df = spark.createDataFrame(pts, "lat double, lon double").withColumn(
+        "cell", coarse_cell(F.col("lat"), F.col("lon")))
+    for r in df.collect():
+        for radius in (1.0, 100.0, 900.0):
+            cover = coarse_cells_covering(r["lat"], r["lon"], radius)
+            assert r["cell"] in cover, (r, radius, cover)

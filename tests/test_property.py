@@ -155,3 +155,36 @@ def test_sequence_packing_matches_serial_prefix_sum(
         assert r["seq_id"] == acc // budget, (i, dict(r.asDict()), acc)
         assert r["seq_offset"] == acc % budget, (i, dict(r.asDict()), acc)
         acc += r["n_tokens"]
+
+
+def _coarse_cell_py(lat: float, lon: float, deg: float = 15.0) -> int:
+    """Python twin of functions/geo.coarse_cell (equivalence with the
+    Column version is pinned by test_pipeline's sweep test)."""
+    n_bands, n_cols = int(180 / deg), int(360 / deg)
+    band = min(math.floor((lat + 90.0) / deg), n_bands - 1)
+    col = min(math.floor(((lon + 180.0) % 360.0) / deg), n_cols - 1)
+    return band * n_cols + col
+
+
+@given(
+    lat=st.floats(-89.9, 89.9),
+    lon=st.floats(-180.0, 179.999),
+    radius_km=st.floats(0.1, 1000.0),
+    bearing=st.floats(0.0, 360.0),
+    frac=st.floats(0.0, 1.0),
+)
+@settings(max_examples=300, deadline=None)
+def test_coarse_cover_contains_points_within_radius(
+        lat, lon, radius_km, bearing, frac):
+    """Partition-pruning recall: a subject anywhere within the serving
+    query's radius must live in a partition dir the query enumerates —
+    a miss here silently drops edges from nearby_edges at any scale."""
+    from geo_linked_open_data_kg_spark.functions.geo import (
+        coarse_cells_covering,
+    )
+    plat, plon = _destination(lat, lon, bearing, radius_km * frac)
+    cover = coarse_cells_covering(lat, lon, radius_km)
+    assert _coarse_cell_py(plat, plon) in cover, (
+        f"point {plat},{plon} within {radius_km * frac:.1f} km of "
+        f"{lat},{lon} maps to a partition outside the {len(cover)}-dir "
+        "cover")
