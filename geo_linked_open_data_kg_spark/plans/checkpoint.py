@@ -166,7 +166,11 @@ class CheckpointStore:
             changed = df.select(*keys).distinct()
             merged = (self.read(spark, stage)
                       .join(changed, keys, "left_anti")
-                      .unionByName(df))
+                      .unionByName(df)
+                      # the using-join moves the key columns first; pin
+                      # the incoming schema order so the durable table's
+                      # column order never drifts across merges
+                      .select(*df.columns))
         else:
             merged = df
         shadow = f"{stage}__merge_tmp"

@@ -179,3 +179,48 @@ def _funnel_table(documents: DataFrame, quality: DataFrame,
     scalar_df = documents.sparkSession.createDataFrame(
         [(s, int(v)) for s, v in scalars], "step string, value long")
     return scalar_df.unionByName(per_rule)
+
+
+def merge_curation_batch(spark: SparkSession, new_docs: DataFrame,
+                         store: CheckpointStore) -> dict[str, DataFrame]:
+    """Periodic dedup compaction for the filter-at-ingest stream.
+
+    `stream_curate_documents` (streaming/documents.py) applies every
+    PER-DOCUMENT curation stage at ingest but deliberately defers
+    cross-document dedup to a batch job — this is that job. It folds a
+    new batch of already-ingest-filtered docs (doc_id, text; append-only
+    doc_ids) into the durable signature store and group table:
+
+      sig_state   (doc_id, quality, mh_0..mh_11)  — merge-upserted
+      sig_groups  (group_id, doc_id, is_keeper, n_members) — refreshed
+
+    using operators/incremental_dedup.py, so compaction cost is
+    O(new batch + signature store), never O(corpus text). Returns the
+    updated groups plus the current non-keeper doc_ids ("dropped") —
+    note a new higher-quality near-dup can RETROACTIVELY demote an old
+    keeper, so callers reconcile the curated set against `dropped`
+    after every compaction rather than treating past keeps as final.
+    """
+    from geo_linked_open_data_kg_spark.operators.incremental_dedup import (
+        incremental_dup_groups,
+        signature_dup_groups,
+        signature_dup_state,
+    )
+    new_state = signature_dup_state(
+        new_docs.select("doc_id", "text")).localCheckpoint()
+    if store.exists("sig_state"):
+        groups = incremental_dup_groups(
+            new_state,
+            store.read(spark, "sig_state"),
+            store.read(spark, "sig_groups"))
+    else:
+        groups = signature_dup_groups(new_state)
+    # pin before the upserts below: the incremental plan READS the very
+    # stage tables the upserts replace (merge_upsert shadow-writes, but
+    # the returned handle must not lazily re-read swapped paths either)
+    groups = groups.localCheckpoint()
+    store.merge_upsert(new_state, "sig_state", keys=["doc_id"])
+    store.merge_upsert(groups, "sig_groups", keys=["doc_id"])
+    return {"groups": groups,
+            "dropped": groups.where(~F.col("is_keeper"))
+                             .select("doc_id", "group_id")}

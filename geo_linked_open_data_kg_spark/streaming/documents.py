@@ -184,10 +184,11 @@ def stream_curate_documents(doc_stream: DataFrame, out_path: str,
     frozen dimension like `places` in stream_link_mentions):
     batch(all docs) == union of batch(drops) EXACTLY. Near-dup grouping
     is deliberately excluded — it is the one cross-document stage, and
-    its streaming spelling is a periodic `duplicate_groups` compaction
-    over the curated sink, not per-batch state (a batch-global LSH
-    index would reintroduce exactly the unbounded state Spark's
-    watermark model exists to avoid)."""
+    its streaming spelling is the periodic compaction job
+    `plans/curation.merge_curation_batch` — incremental signature-store
+    dedup over the curated sink, O(new batch + signatures) — not
+    per-batch state (a batch-global LSH index would reintroduce exactly
+    the unbounded state Spark's watermark model exists to avoid)."""
     from pyspark.sql import functions as F
 
     from geo_linked_open_data_kg_spark.operators.dedup import decontaminate

@@ -55,9 +55,22 @@ def main() -> None:
                   .agg(F.min("latitude").alias("la"),
                        F.min("longitude").alias("lo")))
 
-        pruned_s, full_s, n_rows, n_dirs = [], [], [], []
+        coords = coords.localCheckpoint()  # both paths get prepped coords
+
+        def files_under(path: str) -> int:
+            n = 0
+            for _, _, fs in os.walk(path):
+                n += sum(1 for f in fs
+                         if f.endswith(".parquet") and not f.startswith("_"))
+            return n
+
+        pred_files = files_under(f"{out_dir}/edges/pred=nearTo")
+        table_files = files_under(f"{out_dir}/edges")
+
+        pruned_s, full_s, n_rows, n_dirs, n_files = [], [], [], [], []
         for p in pts:
             qlat, qlon = float(p["latitude"]), float(p["longitude"])
+            cells = coarse_cells_covering(qlat, qlon, radius)
             t0 = time.time()
             got = nearby_edges(spark, out_dir, "nearTo", qlat, qlon,
                                radius, nodes=nodes).collect()
@@ -76,17 +89,25 @@ def main() -> None:
 
             assert len(got) == len(ref), (len(got), len(ref))
             n_rows.append(len(got))
-            n_dirs.append(len(coarse_cells_covering(qlat, qlon, radius)))
+            n_dirs.append(len(cells))
+            n_files.append(sum(
+                files_under(f"{out_dir}/edges/pred=nearTo/cell={c}")
+                for c in cells))
 
+        # at small SF the wall clock is scheduler overhead, so the number
+        # that extrapolates to 100 TB is the FILE-PRUNING ratio: files a
+        # pruned query opens vs the predicate dir vs the whole table
         print(json.dumps({
             "metric": "serving_nearby_edges",
             "sf_dir": sf_dir, "radius_km": radius,
             "build_sec": build_sec,
             "pruned_sec": pruned_s, "full_scan_sec": full_s,
-            "speedup_median": round(
-                sorted(full_s)[len(full_s) // 2]
-                / max(sorted(pruned_s)[len(pruned_s) // 2], 1e-9), 2),
             "rows": n_rows, "cell_dirs_scanned": n_dirs,
+            "files_scanned": n_files,
+            "files_in_pred_dir": pred_files,
+            "files_in_table": table_files,
+            "scan_fraction_vs_table": [
+                round(f / max(table_files, 1), 4) for f in n_files],
         }))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -165,3 +165,59 @@ def test_smoke_on_driver_corpus(spark):
                    for p in os.listdir(f"{d}/curated"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_merge_curation_batch_compacts_and_retroactively_demotes(spark):
+    """The stream's deferred-dedup compaction job: batch 2 folds into the
+    durable signature store, a longer (higher-quality) near-dup arriving
+    later demotes the old keeper, and the merged groups equal the
+    one-shot signature pass over the union."""
+    import shutil
+    import tempfile
+
+    from geo_linked_open_data_kg_spark.operators.incremental_dedup import (
+        signature_dup_groups,
+        signature_dup_state,
+    )
+    from geo_linked_open_data_kg_spark.plans.checkpoint import (
+        CheckpointStore,
+    )
+    from geo_linked_open_data_kg_spark.plans.curation import (
+        merge_curation_batch,
+    )
+
+    a = " ".join(f"a{i}" for i in range(24))
+    base = [f"w{i}" for i in range(40)]
+    b_short = " ".join(base)
+    b_long = " ".join(base + ["x1", "x2", "x3", "x4"])
+    schema = "doc_id long, text string"
+    batch1 = spark.createDataFrame(
+        [(1, a), (2, a), (3, b_short)], schema)
+    batch2 = spark.createDataFrame(
+        [(11, b_long), (12, " ".join(f"z{i}" for i in range(20)))], schema)
+
+    d = tempfile.mkdtemp(prefix="kg_compact_")
+    try:
+        store = CheckpointStore(d)
+        r1 = merge_curation_batch(spark, batch1, store)
+        g1 = {r["doc_id"]: r for r in r1["groups"].collect()}
+        assert set(g1) == {1, 2}            # 3 is a singleton so far
+        assert g1[1]["is_keeper"] and not g1[2]["is_keeper"]
+
+        r2 = merge_curation_batch(spark, batch2, store)
+        g2 = {r["doc_id"]: r for r in r2["groups"].collect()}
+        # 11 is longer -> higher quality -> keeper; old singleton 3
+        # is RETROACTIVELY demoted to a dropped member
+        assert g2[11]["is_keeper"] and not g2[3]["is_keeper"]
+        assert {r["doc_id"] for r in r2["dropped"].collect()} == {2, 3}
+        assert 12 not in g2                 # fresh singleton stays out
+
+        want = {tuple(r) for r in signature_dup_groups(
+            signature_dup_state(batch1.unionByName(batch2))).collect()}
+        assert {tuple(r) for r in r2["groups"].collect()} == want
+        # durable across store handles (what a later compaction reads)
+        assert {tuple(r) for r in
+                CheckpointStore(d).read(spark, "sig_groups").collect()} \
+            == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
