@@ -146,10 +146,15 @@ def signature_dup_groups(state: DataFrame,
     """One-shot signature-verified dup groups over a full state table —
     the batch reference point the incremental path must reproduce.
     Output: (group_id, doc_id, is_keeper, n_members)."""
-    st = state.withColumn("is_new", F.lit(True))
+    # three consumers fan out of the state (band buckets + both sides of
+    # the signature join): pin ONE materialization, same pattern as the
+    # cascade's gram stream (linking.py) and duplicate_groups' tok/sh
+    st = (state.withColumn("is_new", F.lit(True))
+          .localCheckpoint(eager=False))
     pairs = _estimated_pairs(st, n_hashes, n_bands, threshold, max_bucket,
                              new_only=False)
-    return _groups_from_edges(pairs.select("doc_a", "doc_b"), state)
+    return _groups_from_edges(pairs.select("doc_a", "doc_b"),
+                              st.drop("is_new"))
 
 
 def incremental_dup_groups(new_state: DataFrame,
@@ -168,7 +173,8 @@ def incremental_dup_groups(new_state: DataFrame,
     next batch (checkpoint.merge_upsert is the durable spelling).
     """
     st = (prior_state.withColumn("is_new", F.lit(False))
-          .unionByName(new_state.withColumn("is_new", F.lit(True))))
+          .unionByName(new_state.withColumn("is_new", F.lit(True)))
+          .localCheckpoint(eager=False))  # 4 consumers: see above
     new_pairs = _estimated_pairs(st, n_hashes, n_bands, threshold,
                                  max_bucket, new_only=True)
     prior_edges = (prior_groups

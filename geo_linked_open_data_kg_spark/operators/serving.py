@@ -74,3 +74,61 @@ def nearby_edges(spark: SparkSession, graph_dir: str, pred: str,
             .where(F.col("dist_km") <= radius_km)
             .select("subj", "pred", "obj", "confidence", "evidence",
                     "dist_km"))
+
+
+def ego_edges(spark: SparkSession, graph_dir: str, start_ids: list[str],
+              k: int = 2, preds: list[str] | None = None) -> DataFrame:
+    """The k-hop ego graph around a set of node ids — the MATCH
+    (n)-[r*..k]-(m) read a Neo4j user runs against the reference's
+    serving graph (undirected expansion, like Cypher's unanchored
+    relationship pattern).
+
+    Output: (subj, pred, obj, confidence, evidence, hop) where hop is
+    the expansion round (1-based) that first reached the edge; each
+    (subj, pred, obj) appears once. `preds` restricts the traversal to
+    those predicates (and prunes the scan's partition dirs).
+
+    Scale shape: the frontier is ego-graph-sized (thousands at most),
+    so each hop is TWO broadcast-hash semi-joins against the edge scan
+    (one per endpoint — an OR-condition join would degrade to a nested
+    loop) union-deduped; zero shuffles of the full edge table, no
+    driver-side edge materialization. The per-hop collect is the
+    frontier's node ids only (bounded by the ego graph, never the
+    corpus). Hub blow-ups are the caller's k to manage, not a hidden
+    cap (no silent caps).
+    """
+    edges = spark.read.parquet(f"{graph_dir}/edges")
+    if preds:
+        edges = edges.where(F.col("pred").isin(list(preds)))
+    edges = edges.select("subj", "pred", "obj", "confidence", "evidence")
+
+    seen_nodes = {str(s) for s in start_ids}
+    frontier = list(seen_nodes)
+    out: DataFrame | None = None
+    for hop in range(1, k + 1):
+        if not frontier:
+            break
+        fr = F.broadcast(spark.createDataFrame(
+            [(n,) for n in frontier], "node string"))
+        hit = (edges.join(fr, edges.subj == fr.node, "left_semi")
+               .unionByName(
+                   edges.join(fr, edges.obj == fr.node, "left_semi"))
+               .dropDuplicates(["subj", "pred", "obj"])
+               .withColumn("hop", F.lit(hop))
+               .localCheckpoint())  # pin: `edges` re-scan per consumer
+        out = hit if out is None else (
+            out.unionByName(hit.join(
+                out.select("subj", "pred", "obj"),
+                ["subj", "pred", "obj"], "left_anti")))
+        out = out.localCheckpoint()
+        reached = (hit.select(F.col("subj").alias("node"))
+                   .unionByName(hit.select(F.col("obj").alias("node")))
+                   .distinct().collect())
+        frontier = [r["node"] for r in reached
+                    if r["node"] not in seen_nodes]
+        seen_nodes.update(frontier)
+    if out is None:
+        return spark.createDataFrame(
+            [], "subj string, pred string, obj string, confidence double,"
+                " evidence string, hop int")
+    return out

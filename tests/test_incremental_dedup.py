@@ -111,3 +111,17 @@ def test_identical_docs_estimate_full_jaccard(spark):
     )
     [p] = _estimated_pairs(st, 12, 4, 0.5, 50, new_only=False).collect()
     assert (p["doc_a"], p["doc_b"], p["est_jaccard"]) == (1, 2, 1.0)
+
+
+def test_estimated_pairs_plan_never_goes_quadratic(spark, corpus):
+    """Candidates must only materialize inside a (band, bucket) — the
+    same no-cartesian lock the batch LSH carries."""
+    from geo_linked_open_data_kg_spark.operators.incremental_dedup import (
+        _estimated_pairs,
+    )
+    b1, _ = corpus
+    st = signature_dup_state(b1).withColumn("is_new", F.lit(True))
+    plan = (_estimated_pairs(st, 12, 4, 0.5, 50, new_only=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

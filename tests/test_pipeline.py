@@ -206,3 +206,37 @@ def test_coarse_cells_covering_matches_column_twin(spark):
         for radius in (1.0, 100.0, 900.0):
             cover = coarse_cells_covering(r["lat"], r["lon"], radius)
             assert r["cell"] in cover, (r, radius, cover)
+
+
+def test_ego_edges_matches_python_bfs(spark, out_dir):
+    """k-hop ego graph == reference BFS over the collected edge list,
+    including first-reached hop attribution, starting from the
+    highest-degree node (stresses the per-hop dedup)."""
+    from collections import defaultdict
+
+    from geo_linked_open_data_kg_spark.operators.serving import ego_edges
+
+    triples = [(r["subj"], r["pred"], r["obj"]) for r in
+               spark.read.parquet(f"{out_dir}/edges")
+               .select("subj", "pred", "obj").collect()]
+    adj = defaultdict(set)
+    for s, p, o in triples:
+        adj[s].add((s, p, o))
+        adj[o].add((s, p, o))
+    start = max(adj, key=lambda n: len(adj[n]))
+
+    got = {(r["subj"], r["pred"], r["obj"], r["hop"]) for r in
+           ego_edges(spark, out_dir, [start], k=2).collect()}
+
+    seen_nodes, frontier = {start}, {start}
+    edge_hop: dict[tuple, int] = {}
+    for hop in (1, 2):
+        hit = {e for n in frontier for e in adj[n]}
+        for e in hit:
+            edge_hop.setdefault(e, hop)
+        nodes = {x for e in hit for x in (e[0], e[2])}
+        frontier = nodes - seen_nodes
+        seen_nodes |= nodes
+    want = {(s, p, o, h) for (s, p, o), h in edge_hop.items()}
+    assert got == want
+    assert got, "ego graph of the hub node is empty"
