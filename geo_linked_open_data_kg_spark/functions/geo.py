@@ -16,6 +16,8 @@ the reference's pole-clamp concern (link_spatial_optimized.py:46-48).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -111,6 +113,12 @@ def cover_cells_np(la: np.ndarray, lo: np.ndarray,
     iterations per BATCH, not per point)."""
     npts = len(la)
     r_deg = radius_km / KM_PER_DEG_LAT
+    # sin(delta/2) of the disc's angular radius: the longitude half-width
+    # below is the RIGOROUS haversine bound sin(dlam/2) <= sin(delta/2) /
+    # sqrt(cos(phi_center) * cos(phi_point)) — the planar r/(111*cos phi)
+    # approximation under-covers near high-latitude band edges at large
+    # radii (found by code review, pinned by the hypothesis property)
+    sin_half = math.sin(min(radius_km / EARTH_RADIUS_KM, math.pi) / 2.0)
     b0 = np.clip(np.floor((la - r_deg + 90.0) / BAND_DEG),
                  0, N_BANDS - 1).astype(np.int64)
     b1 = np.clip(np.floor((la + r_deg + 90.0) / BAND_DEG),
@@ -127,8 +135,11 @@ def cover_cells_np(la: np.ndarray, lo: np.ndarray,
         lo_edge = b * BAND_DEG - 90.0
         phi = np.minimum(np.maximum(np.abs(lo_edge),
                                     np.abs(lo_edge + BAND_DEG)), 89.9)
-        dlon = np.minimum(180.0, radius_km / (
-            KM_PER_DEG_LAT * np.maximum(0.01, np.cos(np.radians(phi)))))
+        cos0 = np.cos(np.radians(np.minimum(np.abs(la[mask]), 89.9)))
+        s = sin_half / np.sqrt(np.maximum(
+            1e-12, cos0 * np.cos(np.radians(phi))))
+        dlon = np.where(s >= 1.0, 180.0,
+                        2.0 * np.degrees(np.arcsin(np.minimum(s, 1.0))))
         i0 = np.floor((plon - dlon + 180.0) / 360.0 * n).astype(np.int64)
         i1 = np.floor((plon + dlon + 180.0) / 360.0 * n).astype(np.int64)
         cnt = i1 - i0 + 1
@@ -176,11 +187,15 @@ def coarse_cells_covering(lat: float, lon: float, radius_km: float,
     by serving queries to enumerate the (pred, cell) partition dirs worth
     scanning. Pure Python: runs once per query over a handful of cells,
     never per row."""
-    import math
-
     n_bands = int(180 / deg)
     n_cols = int(360 / deg)
     r_deg = radius_km / KM_PER_DEG_LAT
+    # rigorous haversine bound (same as cover_cells_np): the planar
+    # r/(111*cos phi) width under-covers near high-latitude band edges
+    # at large radii (found by code review: 900 km at lat -76 missed an
+    # in-radius partition)
+    sin_half = math.sin(min(radius_km / EARTH_RADIUS_KM, math.pi) / 2.0)
+    cos0 = math.cos(math.radians(min(abs(lat), 89.9)))
     b0 = max(0, min(n_bands - 1, math.floor((lat - r_deg + 90.0) / deg)))
     b1 = max(0, min(n_bands - 1, math.floor((lat + r_deg + 90.0) / deg)))
     cells: set[int] = set()
@@ -188,14 +203,14 @@ def coarse_cells_covering(lat: float, lon: float, radius_km: float,
         lo_edge = b * deg - 90.0
         phi = min(max(abs(lo_edge), abs(lo_edge + deg)), 89.9)
         cos_phi = math.cos(math.radians(phi))
-        if cos_phi < 0.02:
-            # polar band: parallels shrink below the cos floor the fine
-            # grid tolerates, so enumerate the WHOLE ring — n_cols dirs
-            # is nothing, and recall must not depend on a clamp
-            # (hypothesis: test_coarse_cover_contains_points_within_radius)
+        s = sin_half / max(1e-12, math.sqrt(cos0 * cos_phi))
+        if cos_phi < 0.02 or s >= 1.0:
+            # polar band / pole-crossing disc: enumerate the WHOLE ring —
+            # n_cols dirs is nothing, and recall must not depend on a
+            # clamp (hypothesis: test_coarse_cover_contains_points...)
             dlon = 180.0
         else:
-            dlon = min(180.0, radius_km / (KM_PER_DEG_LAT * cos_phi))
+            dlon = 2.0 * math.degrees(math.asin(s))
         i0 = math.floor((lon - dlon + 180.0) / deg)
         i1 = math.floor((lon + dlon + 180.0) / deg)
         if i1 - i0 + 1 >= n_cols:

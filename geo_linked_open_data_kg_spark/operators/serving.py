@@ -18,10 +18,14 @@ index.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geo_linked_open_data_kg_spark.functions.geo import (
+    EARTH_RADIUS_KM,
+    KM_PER_DEG_LAT,
     coarse_cells_covering,
     haversine_km,
 )
@@ -43,30 +47,44 @@ def nearby_edges(spark: SparkSession, graph_dir: str, pred: str,
                     & F.col("cell").isin([int(c) for c in cells])))
     nd = nodes if nodes is not None else \
         spark.read.parquet(f"{graph_dir}/nodes")
-    # bounding-box prefilter BEFORE the aggregate/join: pure Column
-    # predicates that reach the nodes parquet scan as PushedFilters, so
-    # the coordinate dim shrinks from gazetteer-scale to disc-scale and
-    # the broadcast below is justified at ANY corpus size. The box is
-    # deliberately generous (degrees via the same conservative
-    # KM_PER_DEG_LAT the grid uses); haversine refines exactly.
-    import math
-    r_deg = radius_km / 111.0
-    dlon = min(180.0, r_deg / max(0.01, math.cos(math.radians(
-        min(89.0, abs(lat) + r_deg)))))
-    lat_ok = F.col("latitude").between(lat - r_deg, lat + r_deg)
-    lo_w, hi_w = lon - dlon, lon + dlon
-    if lo_w < -180.0 or hi_w > 180.0:  # antimeridian wrap: two windows
-        lon_ok = (F.col("longitude") >= ((lo_w + 540.0) % 360.0 - 180.0)) \
-            | (F.col("longitude") <= ((hi_w + 540.0) % 360.0 - 180.0))
+    # ONE canonical coordinate per subject id — the lexicographic
+    # struct-min, the SAME representative the writer's cell assignment
+    # uses (pipeline.py:_edges), so a subject's layout partition and its
+    # serving refine can never disagree (a componentwise min(lat),
+    # min(lon) could name a coordinate no row has). Aggregate FIRST,
+    # bbox-filter the aggregated dim AFTER: filtering rows before the
+    # min would make the representative query-dependent for any id with
+    # several coordinate rows. The null filter still pushes to the scan;
+    # the dim this aggregates is the nodes table, orders of magnitude
+    # smaller than the edge table the cell pruning is protecting.
+    canon = F.min(F.struct("latitude", "longitude")).alias("c")
+    coords = (nd.where(F.col("latitude").isNotNull())
+              .groupBy(F.col("id").alias("subj")).agg(canon)
+              .select("subj", F.col("c.latitude").alias("_lat"),
+                      F.col("c.longitude").alias("_lon")))
+    # generous bbox on the aggregated dim so the broadcast below stays
+    # disc-sized at ANY corpus size; haversine refines exactly.
+    # Longitude half-width via the rigorous haversine bound (the planar
+    # r/(111*cos) width under-covers at high latitude — code review);
+    # a disc that reaches a pole keeps every longitude.
+    r_deg = radius_km / KM_PER_DEG_LAT
+    lat_ok = F.col("_lat").between(lat - r_deg, lat + r_deg)
+    phi_far = min(89.9, abs(lat) + r_deg)
+    s = math.sin(min(radius_km / EARTH_RADIUS_KM, math.pi) / 2.0) \
+        / max(1e-12, math.sqrt(math.cos(math.radians(min(abs(lat), 89.9)))
+                               * math.cos(math.radians(phi_far))))
+    if abs(lat) + r_deg >= 89.9 or s >= 1.0:
+        lon_ok = F.lit(True)          # pole-crossing disc: full ring
     else:
-        lon_ok = F.col("longitude").between(lo_w, hi_w)
-    # one coordinate per subject id (same min-aggregation the writer used
-    # to assign the layout cell, pipeline.py:166-171) so the refine join
-    # can never duplicate an edge
-    coords = (nd.where(F.col("latitude").isNotNull() & lat_ok & lon_ok)
-              .groupBy(F.col("id").alias("subj"))
-              .agg(F.min("latitude").alias("_lat"),
-                   F.min("longitude").alias("_lon")))
+        dlon = 2.0 * math.degrees(math.asin(s))
+        lo_w, hi_w = lon - dlon, lon + dlon
+        if lo_w < -180.0 or hi_w > 180.0:  # antimeridian wrap: 2 windows
+            lon_ok = \
+                (F.col("_lon") >= ((lo_w + 540.0) % 360.0 - 180.0)) \
+                | (F.col("_lon") <= ((hi_w + 540.0) % 360.0 - 180.0))
+        else:
+            lon_ok = F.col("_lon").between(lo_w, hi_w)
+    coords = coords.where(lat_ok & lon_ok)
     dist = haversine_km(F.col("_lat"), F.col("_lon"),
                         F.lit(float(lat)), F.lit(float(lon)))
     return (edges.join(F.broadcast(coords), "subj")

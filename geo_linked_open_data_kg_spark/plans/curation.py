@@ -209,10 +209,22 @@ def merge_curation_batch(spark: SparkSession, new_docs: DataFrame,
     new_state = signature_dup_state(
         new_docs.select("doc_id", "text")).localCheckpoint()
     if store.exists("sig_state"):
-        groups = incremental_dup_groups(
-            new_state,
-            store.read(spark, "sig_state"),
-            store.read(spark, "sig_groups"))
+        # anti-join the batch out of the prior state: a REPLAYED batch
+        # (crash after the sig_state upsert, retry) would otherwise be
+        # present on both sides of the union and double-count every
+        # member join downstream — this makes the whole job idempotent
+        prior_state = (store.read(spark, "sig_state")
+                       .join(new_state.select("doc_id"), "doc_id",
+                             "left_anti"))
+        if store.exists("sig_groups"):
+            groups = incremental_dup_groups(
+                new_state, prior_state, store.read(spark, "sig_groups"))
+        else:
+            # interrupted before ANY group commit: every signature is
+            # still present, so rebuild groups from scratch (state is
+            # O(docs); no text is re-read)
+            groups = signature_dup_groups(
+                prior_state.unionByName(new_state))
     else:
         groups = signature_dup_groups(new_state)
     # pin before the upserts below: the incremental plan READS the very

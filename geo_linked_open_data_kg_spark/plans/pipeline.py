@@ -162,12 +162,21 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         # and would shuffle-hash at cluster scale; the explicit
         # repartition on the partition spec keeps the write at one
         # file per (pred, cell) dir instead of one per task per dir.
+        # cell from the subject's CANONICAL coordinate (lexicographic
+        # struct-min over its rows) — the same representative the
+        # serving read path refines against (operators/serving.py), so
+        # layout partition and serving coordinate can never disagree
+        # for an id with several coordinate rows (min over cells and
+        # min over coordinates need not name the same row)
         subj_cells = (nodes
                       .where(F.col("latitude").isNotNull())
                       .groupBy(F.col("id").alias("subj"))
-                      .agg(F.min(coarse_cell(F.col("latitude"),
-                                             F.col("longitude")))
-                           .alias("cell")))
+                      .agg(F.min(F.struct("latitude", "longitude"))
+                           .alias("c"))
+                      .select("subj",
+                              coarse_cell(F.col("c.latitude"),
+                                          F.col("c.longitude"))
+                              .alias("cell")))
         return (canon.join(subj_cells, "subj", "left")
                 .withColumn("cell", F.coalesce(F.col("cell"), F.lit(-1)))
                 .repartition("pred", "cell")

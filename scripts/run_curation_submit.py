@@ -29,7 +29,13 @@ def parse_weights(s: str | None) -> dict[str, float]:
         return {}
     out = {}
     for part in s.split(","):
-        k, v = part.split("=")
+        part = part.strip()
+        if not part:
+            continue  # tolerate a trailing comma
+        k, _, v = part.partition("=")
+        if not k or not v:
+            raise SystemExit(
+                f"--weights: expected source=fraction, got {part!r}")
         out[k.strip()] = float(v)
     return out
 

@@ -52,8 +52,9 @@ def main() -> None:
                .orderBy("id").limit(n_points).collect())
         coords = (nodes.where(F.col("latitude").isNotNull())
                   .groupBy(F.col("id").alias("subj"))
-                  .agg(F.min("latitude").alias("la"),
-                       F.min("longitude").alias("lo")))
+                  .agg(F.min(F.struct("latitude", "longitude")).alias("c"))
+                  .select("subj", F.col("c.latitude").alias("la"),
+                          F.col("c.longitude").alias("lo")))
 
         coords = coords.localCheckpoint()  # both paths get prepped coords
 

@@ -221,3 +221,61 @@ def test_merge_curation_batch_compacts_and_retroactively_demotes(spark):
             == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_merge_curation_batch_replay_is_idempotent(spark):
+    """Crash-replay safety: re-running a batch after a full success, and
+    retrying after a simulated crash between the two upserts (sig_state
+    committed, sig_groups not), must both land on the one-shot answer —
+    no double-counted members."""
+    import shutil
+    import tempfile
+
+    from geo_linked_open_data_kg_spark.operators.incremental_dedup import (
+        signature_dup_groups,
+        signature_dup_state,
+    )
+    from geo_linked_open_data_kg_spark.plans.checkpoint import (
+        CheckpointStore,
+    )
+    from geo_linked_open_data_kg_spark.plans.curation import (
+        merge_curation_batch,
+    )
+
+    a = " ".join(f"a{i}" for i in range(24))
+    schema = "doc_id long, text string"
+    batch1 = spark.createDataFrame([(1, a), (2, a)], schema)
+    batch2 = spark.createDataFrame(
+        [(11, a), (12, " ".join(f"q{i}" for i in range(20)))], schema)
+    want = {tuple(r) for r in signature_dup_groups(
+        signature_dup_state(batch1.unionByName(batch2))).collect()}
+
+    # replay after success
+    d = tempfile.mkdtemp(prefix="kg_replay_")
+    try:
+        store = CheckpointStore(d)
+        merge_curation_batch(spark, batch1, store)
+        merge_curation_batch(spark, batch2, store)
+        again = merge_curation_batch(spark, batch2, store)  # replay
+        assert {tuple(r) for r in again["groups"].collect()} == want
+        for r in again["groups"].collect():
+            assert r["n_members"] == 3  # not 4/5: no double count
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # crash between the upserts: sig_state has the batch, sig_groups
+    # does not (here: never written at all — the first-batch variant)
+    d = tempfile.mkdtemp(prefix="kg_replay2_")
+    try:
+        store = CheckpointStore(d)
+        store.merge_upsert(signature_dup_state(batch1), "sig_state",
+                           keys=["doc_id"])
+        assert not store.exists("sig_groups")
+        r1 = merge_curation_batch(spark, batch1, store)  # retry batch 1
+        g1 = {r["doc_id"]: r["n_members"]
+              for r in r1["groups"].collect()}
+        assert g1 == {1: 2, 2: 2}
+        r2 = merge_curation_batch(spark, batch2, store)
+        assert {tuple(r) for r in r2["groups"].collect()} == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

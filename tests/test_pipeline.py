@@ -163,11 +163,12 @@ def test_nearby_edges_serving_is_partition_pruned_and_exact(spark, out_dir):
     res = nearby_edges(spark, out_dir, "nearTo", qlat, qlon, 50.0)
     got = {(r["subj"], r["obj"], r["dist_km"]) for r in res.collect()}
 
-    # brute reference: full edge scan, same coordinate refine
+    # brute reference: full edge scan, same canonical-coordinate refine
     coords = (nodes.where(F.col("latitude").isNotNull())
               .groupBy(F.col("id").alias("subj"))
-              .agg(F.min("latitude").alias("la"),
-                   F.min("longitude").alias("lo")))
+              .agg(F.min(F.struct("latitude", "longitude")).alias("c"))
+              .select("subj", F.col("c.latitude").alias("la"),
+                      F.col("c.longitude").alias("lo")))
     brute = (spark.read.parquet(f"{out_dir}/edges")
              .where(F.col("pred") == "nearTo")
              .join(coords, "subj")

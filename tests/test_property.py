@@ -55,9 +55,9 @@ def _destination(lat: float, lon: float, bearing_deg: float,
 
 
 @given(
-    lat=st.floats(-84.0, 84.0),
+    lat=st.floats(-88.5, 88.5),
     lon=st.floats(-180.0, 179.999),
-    radius_km=st.floats(0.1, 50.0),
+    radius_km=st.floats(0.1, 200.0),
     bearing=st.floats(0.0, 360.0),
     frac=st.floats(0.0, 1.0),
 )
@@ -66,8 +66,10 @@ def test_cover_cells_contain_every_point_within_radius(
         lat, lon, radius_km, bearing, frac):
     """Recall invariant of the latitude-adaptive grid: a gazetteer row at
     ANY point within the search disc lands in a cell the probe covers.
-    (Latitude capped at 84 deg: the reference pipeline's gazetteer rows are
-    populated places; the grid clamps poleward bands — geo.py:84.)"""
+    The longitude width uses the rigorous haversine bound, so this holds
+    to lat 88.5 / 200 km (the clamped poleward band past 89 is the only
+    excluded zone; the planar width the review replaced capped the
+    guarantee at ~84 deg / 50 km)."""
     plat, plon = _destination(lat, lon, bearing, radius_km * frac)
     if abs(plat) > 89.0:
         return  # outside the grid's guaranteed zone
@@ -169,7 +171,7 @@ def _coarse_cell_py(lat: float, lon: float, deg: float = 15.0) -> int:
 @given(
     lat=st.floats(-89.9, 89.9),
     lon=st.floats(-180.0, 179.999),
-    radius_km=st.floats(0.1, 1000.0),
+    radius_km=st.floats(0.1, 1500.0),
     bearing=st.floats(0.0, 360.0),
     frac=st.floats(0.0, 1.0),
 )
