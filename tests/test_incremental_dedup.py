@@ -125,3 +125,49 @@ def test_estimated_pairs_plan_never_goes_quadratic(spark, corpus):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def _mk_doc(doc_id: int, tpl: int, muts: int) -> tuple[int, str]:
+    vocab = [f"t{k}" for k in range(40)]
+    templates = [vocab[0:24],
+                 [w + "x" for w in vocab[0:24]],
+                 [w + "y" for w in vocab[0:24]],
+                 vocab[10:34]]
+    w = list(templates[tpl])
+    for m in range(muts):
+        w[(7 * m + 3) % len(w)] = f"m{doc_id}_{m}"
+    return doc_id, " ".join(w)
+
+
+def test_incremental_parity_randomized(spark):
+    """Hypothesis-driven batch parity: random template/mutation corpora
+    with borderline similarities (templates 0 and 3 overlap ~40%, right
+    at the estimator threshold) and random batch splits must still make
+    incremental == one-shot — the crafted-corpus parity generalized."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(data=st.data())
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def prop(data):
+        n1 = data.draw(st.integers(2, 7), label="n1")
+        n2 = data.draw(st.integers(1, 6), label="n2")
+        docs1 = [_mk_doc(i, data.draw(st.integers(0, 3)),
+                         data.draw(st.integers(0, 4)))
+                 for i in range(n1)]
+        docs2 = [_mk_doc(100 + i, data.draw(st.integers(0, 3)),
+                         data.draw(st.integers(0, 4)))
+                 for i in range(n2)]
+        schema = "doc_id long, text string"
+        b1 = spark.createDataFrame(docs1, schema)
+        b2 = spark.createDataFrame(docs2, schema)
+        state1 = signature_dup_state(b1).localCheckpoint()
+        groups1 = signature_dup_groups(state1).localCheckpoint()
+        inc = incremental_dup_groups(
+            signature_dup_state(b2).localCheckpoint(), state1, groups1)
+        want = signature_dup_groups(
+            signature_dup_state(b1.unionByName(b2)))
+        assert _rows(inc) == _rows(want)
+
+    prop()
