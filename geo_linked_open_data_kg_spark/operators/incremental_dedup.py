@@ -57,8 +57,10 @@ def signature_dup_state(documents: DataFrame,
     """The persisted per-doc dedup state: (doc_id, quality, mh_0..mh_{n-1}).
 
     ~13 narrow columns per document — the ONLY thing a later batch needs
-    to dedup against this one. Docs too short to shingle (< k tokens)
-    have no signature and are absent, mirroring the batch generators.
+    to dedup against this one. Docs shorter than k tokens still get a
+    signature from their single truncated shingle (shingles_from_tokens
+    emits index 0 even when size < k), mirroring the batch generators;
+    only a doc whose normalized text is empty is absent.
     """
     from geo_linked_open_data_kg_spark.operators.textstats import (
         quality_scores,

@@ -48,9 +48,10 @@ from geo_linked_open_data_kg_spark.operators.textstats import (
 )
 from geo_linked_open_data_kg_spark.plans.checkpoint import CheckpointStore
 
-# stage names in funnel order (curation_funnel reports them in this order)
+# every CheckpointStore stage this pipeline writes, in funnel order —
+# what a resume inspection or stage-table consumer should enumerate
 STAGES = ["quality", "pii", "dup_groups", "contamination", "mixture",
-          "curated", "sequences"]
+          "curated", "sequences", "funnel"]
 
 
 def run_curation_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
@@ -109,21 +110,25 @@ def run_curation_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
             ("cc_rounds_run", cc_stats.get("rounds_run", -1)),
             ("cc_converged", int(cc_stats.get("converged", False)))])
 
+    # dedup survivors (keepers + singletons) — the docstring's "dedup
+    # before decontamination": only these pay for contamination
+    # shingling, so the stage cost never multiplies by the duplication
+    # factor, and the funnel's contaminated count can't double-count a
+    # doc that dedup already dropped (review findings 6 + 10)
+    dropped_dups = dup_groups.where(~F.col("is_keeper")).select("doc_id")
+    dedup_survivors = kept.join(dropped_dups, "doc_id", "left_anti")
+
     def _contamination() -> DataFrame:
         if eval_docs is None:
             return spark.createDataFrame(
                 [], "doc_id long, n_shared_shingles int, n_eval_docs int")
-        return decontaminate(kept, eval_docs, k=decontam_k)
+        return decontaminate(dedup_survivors, eval_docs, k=decontam_k)
 
     contamination = ckpt.get_or_compute(
         spark, "contamination", _contamination, force=force)
 
-    # survivors after dedup (drop non-keeper group members) and
-    # decontamination — both anti-joins against narrow decision tables
-    dropped_dups = dup_groups.where(~F.col("is_keeper")).select("doc_id")
-    clean = (kept
-             .join(dropped_dups, "doc_id", "left_anti")
-             .join(contamination.select("doc_id"), "doc_id", "left_anti"))
+    clean = dedup_survivors.join(
+        contamination.select("doc_id"), "doc_id", "left_anti")
 
     mixture = ckpt.get_or_compute(
         spark, "mixture",

@@ -28,6 +28,10 @@ EXEC_MODE = os.environ.get("EXEC_MODE", "local-cluster")
 EXEC_CORES = int(os.environ.get("EXEC_CORES", "2"))
 EXEC_MEM_MB = int(os.environ.get("EXEC_MEM_MB", "10240"))
 LEVELS = [int(x) for x in os.environ.get("SCALE_LEVELS", "1,4").split(",")]
+if len(LEVELS) != 2:
+    # fail BEFORE the hours-long workers run, not at the report line
+    raise SystemExit(f"SCALE_LEVELS must be exactly two levels (N,4N "
+                     f"pair for the scaling criterion); got {LEVELS}")
 
 WORKER = r"""
 import json, shutil, sys, tempfile, time

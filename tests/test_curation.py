@@ -279,3 +279,11 @@ def test_merge_curation_batch_replay_is_idempotent(spark):
         assert {tuple(r) for r in r2["groups"].collect()} == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_stage_table_materialized(result, out_dir):
+    import os
+
+    from geo_linked_open_data_kg_spark.plans.curation import STAGES
+    for s in STAGES:
+        assert os.path.isdir(f"{out_dir}/{s}"), f"stage {s} not written"
