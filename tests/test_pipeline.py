@@ -241,3 +241,49 @@ def test_ego_edges_matches_python_bfs(spark, out_dir):
     want = {(s, p, o, h) for (s, p, o), h in edge_hop.items()}
     assert got == want
     assert got, "ego graph of the hub node is empty"
+
+
+def test_nearby_edges_antimeridian_and_polar(spark):
+    """Functional coverage for the serving bbox's two hard branches: the
+    antimeridian two-window wrap and the pole-crossing full-ring case
+    (the clamped planar window used to drop the polar subject)."""
+    import shutil
+    import tempfile
+
+    from geo_linked_open_data_kg_spark.functions.geo import coarse_cell
+    from geo_linked_open_data_kg_spark.operators.serving import (
+        nearby_edges,
+    )
+
+    nodes = spark.createDataFrame(
+        [("east", 10.0, 179.9), ("west", 10.0, -179.9),
+         ("far", 10.0, 170.0), ("polar", -89.7, 150.0)],
+        "id string, latitude double, longitude double")
+    edges = (spark.createDataFrame(
+        [("east", "nearTo", "o1"), ("west", "nearTo", "o2"),
+         ("far", "nearTo", "o3"), ("polar", "nearTo", "o4")],
+        "subj string, pred string, obj string")
+        .withColumn("confidence", F.lit(1.0))
+        .withColumn("evidence", F.lit("golden")))
+    cells = (nodes.select(F.col("id").alias("subj"),
+                          coarse_cell(F.col("latitude"),
+                                      F.col("longitude")).alias("cell")))
+    d = tempfile.mkdtemp(prefix="kg_serve_golden_")
+    try:
+        nodes.write.parquet(f"{d}/nodes")
+        (edges.join(cells, "subj")
+         .write.partitionBy("pred", "cell").parquet(f"{d}/edges"))
+
+        # query 0.05 deg east of the antimeridian: both straddling
+        # nodes are within ~17 km, the 170-deg node is ~1000 km out
+        got = {r["subj"] for r in nearby_edges(
+            spark, d, "nearTo", 10.0, 179.95, 50.0).collect()}
+        assert got == {"east", "west"}
+
+        # pole-crossing disc: the subject sits 150 deg of longitude away
+        # but only ~54 km over the pole — the full-ring branch must keep it
+        got = {r["subj"] for r in nearby_edges(
+            spark, d, "nearTo", -89.8, 0.0, 100.0).collect()}
+        assert got == {"polar"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
