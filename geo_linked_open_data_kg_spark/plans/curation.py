@@ -51,7 +51,7 @@ from geo_linked_open_data_kg_spark.plans.checkpoint import CheckpointStore
 # every CheckpointStore stage this pipeline writes, in funnel order —
 # what a resume inspection or stage-table consumer should enumerate
 STAGES = ["quality", "pii", "dup_groups", "contamination", "mixture",
-          "curated", "sequences", "funnel"]
+          "mixture_audit", "curated", "sequences", "funnel"]
 
 
 def run_curation_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
@@ -140,6 +140,11 @@ def run_curation_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         lambda: clean.join(mixture.select("doc_id"), "doc_id"),
         partition_by=["source"], force=force)
 
+    mixture_audit = ckpt.get_or_compute(
+        spark, "mixture_audit",
+        lambda: _mixture_audit(spark, clean, curated, weights or {}),
+        force=force)
+
     sequences = ckpt.get_or_compute(
         spark, "sequences",
         lambda: sequence_packing(curated, budget=budget), force=force)
@@ -152,7 +157,44 @@ def run_curation_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
 
     return {"quality": quality, "pii": pii, "dup_groups": dup_groups,
             "contamination": contamination, "mixture": mixture,
+            "mixture_audit": mixture_audit,
             "curated": curated, "sequences": sequences, "funnel": funnel}
+
+
+def _mixture_audit(spark: SparkSession, clean: DataFrame,
+                   curated: DataFrame,
+                   weights: dict[str, float]) -> DataFrame:
+    """Per-source REQUESTED vs ACHIEVED mixture — the mixture stage asks
+    for keep fractions; nothing else reports what actually shipped ("no
+    silent caps" applied to sampling). Output per source: pool size
+    (post-clean, what the fraction applies to), kept docs, kept tokens,
+    requested_fraction (1.0 for unlisted sources = keep-all sentinel),
+    achieved_fraction (kept/pool, 4dp). Hash-threshold sampling is
+    content-addressed, so achieved tracks requested to binomial noise —
+    a big gap means a skewed doc-id/source distribution worth seeing."""
+    from geo_linked_open_data_kg_spark.operators.textstats import tokens
+
+    pool = clean.groupBy("source").agg(F.count("*").alias("n_pool"))
+    kept = (curated
+            .groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum(F.size(tokens(F.col("text")))).alias("n_tokens")))
+    req = spark.createDataFrame(
+        [(s, float(f)) for s, f in weights.items()] or
+        [("", -1.0)],  # dummy row: createDataFrame needs a schema carrier
+        "source string, requested_fraction double")
+    return (pool.join(kept, "source", "left")
+            .join(F.broadcast(req.where(F.col("requested_fraction") >= 0)),
+                  "source", "left")
+            .select("source", "n_pool",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("requested_fraction", F.lit(1.0))
+                    .alias("requested_fraction"),
+                    F.round(F.coalesce("n_kept", F.lit(0))
+                            / F.greatest("n_pool", F.lit(1)), 4)
+                    .alias("achieved_fraction"))
+            .orderBy("source"))
 
 
 def _funnel_table(documents: DataFrame, quality: DataFrame,

@@ -287,3 +287,19 @@ def test_every_stage_table_materialized(result, out_dir):
     from geo_linked_open_data_kg_spark.plans.curation import STAGES
     for s in STAGES:
         assert os.path.isdir(f"{out_dir}/{s}"), f"stage {s} not written"
+
+
+def test_mixture_audit_requested_vs_achieved(result):
+    """The sampling stage's own audit: per source, the requested keep
+    fraction next to what actually shipped (docs + tokens) — sampling
+    must not be a silent cap."""
+    audit = {r["source"]: r for r in result["mixture_audit"].collect()}
+    assert set(audit) == {"web", "code"}
+    w = audit["web"]
+    assert (w["n_pool"], w["n_kept"], w["n_tokens"]) == (2, 2, 72)
+    assert w["requested_fraction"] == 1.0  # unlisted -> keep-all
+    assert w["achieved_fraction"] == 1.0
+    c = audit["code"]
+    assert (c["n_pool"], c["n_kept"], c["n_tokens"]) == (2, 0, 0)
+    assert c["requested_fraction"] == 0.0
+    assert c["achieved_fraction"] == 0.0
