@@ -621,6 +621,23 @@ def _admin1_names(places: dict) -> dict:
     return out
 
 
+def _write_split(table: pa.Table, path: str) -> None:
+    """Write a corpus-scale fixture table with MANY ROW GROUPS (~64 per
+    table, floor 1024 rows) instead of pyarrow's default single group.
+
+    Spark (and DuckDB) parallelize a parquet scan at row-group
+    granularity: a single-row-group file is an unsplittable input, so
+    every map-side operator over it runs on ONE task no matter the split
+    config — measured in round 6 as the #1 wall-clock bottleneck of the
+    whole bench (the mention cascade's scan stages ran 3 tasks wide on a
+    32-core box). Row VALUES and ORDER are unchanged; only the physical
+    layout differs, so oracle SQL and value hashes are untouched
+    (guide §2.5 "input skew: one huge unsplittable file — fix at the
+    source")."""
+    rg = max(1024, -(-table.num_rows // 64))
+    pq.write_table(table, path, row_group_size=rg)
+
+
 def write_sf(out_dir: str, sf: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     sizes = SF_SIZES[sf]
@@ -642,10 +659,10 @@ def write_sf(out_dir: str, sf: str) -> None:
     augment_places_historical(places)
     augment_org_formation(orgs, wd)
 
-    pq.write_table(pa.table(places), f"{out_dir}/places.parquet")
-    pq.write_table(pa.table(wd), f"{out_dir}/wikidata_places.parquet")
-    pq.write_table(pa.table(persons), f"{out_dir}/persons.parquet")
-    pq.write_table(pa.table(orgs), f"{out_dir}/organizations.parquet")
+    _write_split(pa.table(places), f"{out_dir}/places.parquet")
+    _write_split(pa.table(wd), f"{out_dir}/wikidata_places.parquet")
+    _write_split(pa.table(persons), f"{out_dir}/persons.parquet")
+    _write_split(pa.table(orgs), f"{out_dir}/organizations.parquet")
     pq.write_table(pa.table({
         "id_number": pa.array(po["id_number"], pa.int64()),
         "name": pa.array(po["name"]),
@@ -657,11 +674,11 @@ def write_sf(out_dir: str, sf: str) -> None:
     span_type = pa.list_(pa.struct([
         ("kind", pa.string()), ("text", pa.string()),
         ("media_ref", pa.string()), ("offset", pa.int32())]))
-    pq.write_table(pa.table({
+    _write_split(pa.table({
         "doc_id": pa.array(doc_ids),
         "spans": pa.array(spans_col, span_type)}),
         f"{out_dir}/geo_documents.parquet")
-    pq.write_table(pa.table({
+    _write_split(pa.table({
         "doc_id": pa.array(truth["doc_id"]),
         "span_offset": pa.array(truth["span_offset"], pa.int32()),
         "mention_text": pa.array(truth["mention_text"]),

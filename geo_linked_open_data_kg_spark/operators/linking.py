@@ -140,18 +140,17 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
         pruned_ngram_candidates,
     )
     base_am = alias_map(places)
-    # first-token pruned gram stream: lossless for the exact equi-join,
-    # skips constructing grams at positions no alias can start at
+    # first-token pruned gram stream, carrying the 3 tokens FOLLOWING
+    # each gram (a1..a3): every context feature the per-span lambdas need
+    # (the `,`/`at` separators and the two coordinate tokens) is a
+    # function of those, so the corpus tokens never have to be re-joined
+    # after the groupBy — the round-5 tokens-rebuild join (a corpus-wide
+    # exchange+sort on the query path) is gone (round-6, guide §2.4)
     grams = (pruned_ngram_candidates(text_spans(documents),
-                                     alias_first_tokens(base_am))
+                                     alias_first_tokens(base_am),
+                                     n_after=3)
              .where(F.length("gram_norm").between(2, 60)))
-    # per-candidate attributes needed INSIDE the per-span lambda (cross-
-    # candidate admin-context comparison) are packed into one short
-    # adm_key string; everything the lambda does NOT compare across
-    # candidates (population, coordinates, historical flags) rejoins from
-    # a broadcast dim AFTER the explode, keeping the shuffled reducer row
-    # narrow — per-span collect_list heap/spill pressure was the measured
-    # executor-mode scaling bottleneck (BENCH.md round-2 analysis).
+    # per-candidate attributes are packed into one short adm_key string;
     # null sentinel is chr(1) (a control char that cannot occur in admin
     # codes), so a NULL code and an empty-string code stay DISTINCT and
     # key equality == pairwise eqNullSafe — matching the oracle's
@@ -162,9 +161,15 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
     adm_key = F.concat(F.coalesce(F.col("country_code"), F.lit(null_t)),
                        F.lit("|"),
                        F.coalesce(F.col("admin1_code"), F.lit(null_t)))
+    is_hist = F.col("feature_code").isin(*HISTORICAL_FEATURE_CODES)
+    if "dissolved_date" in places.columns:
+        is_hist = is_hist | F.col("dissolved_date").isNotNull()
     am = base_am.join(
         places.select("geoname_id", "population", adm_key.alias("adm_key"),
-                      (F.col("feature_code") == "ADM1").alias("is_adm1")),
+                      (F.col("feature_code") == "ADM1").alias("is_adm1"),
+                      F.col("latitude").alias("cand_lat"),
+                      F.col("longitude").alias("cand_lon"),
+                      is_hist.alias("is_hist")),
         "geoname_id")
     # candidate cap (the reference's ORDER BY population LIMIT 20,
     # reconcile.py:61-63), applied on the ALIAS MAP: an occurrence's
@@ -176,24 +181,42 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
     am_w = (Window.partitionBy("alias_norm")
             .orderBy(F.col("population").desc_nulls_last(),
                      F.col("geoname_id").asc()))
+    # lazy localCheckpoint: the capped map feeds three branches (ADM1
+    # dim, the occurrence semi-join vocabulary's exemption twin, and the
+    # final candidate attach) — materialize its window once instead of
+    # re-running the vocabulary-sized sort per branch
     am = (am.withColumn("cr", F.row_number().over(am_w))
-          .where(F.col("cr") <= cap).drop("cr", "population"))
-    if broadcast_aliases:
-        am = F.broadcast(am)
-    # neither the surface string NOR the candidate attribute block is
-    # shuffled: mention_text is rebuilt from the span's tokens after the
-    # groupBy, and scoring attributes rejoin broadcast-side post-explode
-    # (shuffle bandwidth, not CPU, is the executor-mode bottleneck per
-    # BENCH.md round-2 analysis)
-    cand_cols = ["start", "n", "geoname_id", "adm_key", "is_adm1"]
-    hits = (grams.join(am, grams.gram_norm == am.alias_norm, "inner")
-            .select("doc_id", "span_offset", *cand_cols))
-    per_span = (hits.groupBy("doc_id", "span_offset")
-                .agg(F.collect_set(F.struct("start", "n")).alias("occs"),
-                     F.collect_list(F.struct(*cand_cols)).alias("cands")))
-    spans = text_spans(documents).select("doc_id", "span_offset", "tokens")
+          .where(F.col("cr") <= cap).drop("cr")
+          .localCheckpoint(eager=False))
+    # The shuffled stream carries ONE row per matched occurrence, never
+    # the alias fan-out (round-6: 36.8M hit rows -> 720k occurrence rows
+    # at sf0.1, 51x). Longest-match containment and every context feature
+    # are occurrence-level decisions: which (start, n) windows matched,
+    # which of them carry a capped ADM1 candidate (adm1_keys — a
+    # vocabulary-sized dim), and the following tokens a1..a3. Candidate
+    # gids + scoring attributes attach AFTER containment via the
+    # broadcast alias map (guide §8: decide with small rows, attach the
+    # heavy fan-out once).
+    # semi-join dims tolerate duplicate keys, so the vocabulary comes
+    # from the dedup-free alias stream (zero exchanges); its key SET ==
+    # the capped map's alias_norms (the cap keeps >= 1 per surface)
+    vocab = alias_map(places, dedup=False).select("alias_norm")
+    adm1_dim = (am.where(F.col("is_adm1"))
+                .groupBy("alias_norm")
+                .agg(F.collect_set("adm_key").alias("adm1_keys")))
+    empty_keys = F.array().cast("array<string>")
+    occ = (grams.join(F.broadcast(vocab),
+                      grams.gram_norm == vocab.alias_norm, "left_semi")
+           .join(F.broadcast(adm1_dim),
+                 F.col("gram_norm") == adm1_dim.alias_norm, "left")
+           .drop("alias_norm"))
+    per_span = (occ.groupBy("doc_id", "span_offset")
+                .agg(F.collect_list(F.struct(
+                    "start", "n", "gram", "a1", "a2", "a3",
+                    F.coalesce("adm1_keys", empty_keys).alias("adm1_keys")))
+                    .alias("occs")))
     kept_expr = F.filter(
-        F.col("cands"),
+        F.col("occs"),
         lambda c: ~F.exists(
             F.col("occs"),
             lambda o: (o["start"] <= c["start"])
@@ -201,47 +224,43 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
             & (o["n"] > c["n"])))
     # lazy localCheckpoint = optimizer barrier: `kept` materializes once
     # per span instead of being re-inlined into every lambda below
-    base = (per_span.join(spans, ["doc_id", "span_offset"])
-            .select("doc_id", "span_offset", "tokens",
-                    kept_expr.alias("kept"))
+    base = (per_span
+            .select("doc_id", "span_offset", kept_expr.alias("kept"))
             .localCheckpoint(eager=False))
 
     kept = F.col("kept")
-    toks = F.col("tokens")
-
-    def tok(i):  # token at 0-based index i
-        return F.element_at(toks, (i + 1).cast("int"))
 
     def scored(c):
-        after = tok(c["start"] + c["n"])
+        after = c["a1"]
         # admin context: `<mention> , <ADM1 occurrence>` whose admin codes
-        # match this candidate's (reconcile.py:158-195); adm_key packs
-        # (country_code, admin1_code) with a null sentinel, so key
-        # equality == pairwise eqNullSafe
-        admin_hit = (after == ",") & F.exists(
-            kept, lambda a: a["is_adm1"]
-            & (a["start"] == c["start"] + c["n"] + 1)
-            & (a["adm_key"] == c["adm_key"]))
+        # match this candidate's (reconcile.py:158-195). The candidate's
+        # own adm_key arrives post-explode, so the struct carries the SET
+        # of capped ADM1 adm_keys at position start+n+1 (empty when the
+        # separator is not `,`); admin_hit = membership, tested below.
+        # Matches the old per-candidate exists: `a.start == c.start+c.n+1
+        # & a.is_adm1 & a.adm_key == c.adm_key` over kept candidates.
+        adm_ctx_keys = F.when(
+            after == ",",
+            F.flatten(F.transform(
+                F.filter(kept,
+                         lambda o: o["start"] == c["start"] + c["n"] + 1),
+                lambda o: o["adm1_keys"]))).otherwise(empty_keys)
         # coordinate context: `<mention> at <lat> <lon>` (reconcile.py:
         # 113-156); the haversine gate runs post-explode against the
         # broadcast place dim — only the parsed context coords ride here
-        ctx_lat = F.when(after == "at",
-                         tok(c["start"] + c["n"] + 1).try_cast("double"))
-        ctx_lon = F.when(after == "at",
-                         tok(c["start"] + c["n"] + 2).try_cast("double"))
+        ctx_lat = F.when(after == "at", c["a2"].try_cast("double"))
+        ctx_lon = F.when(after == "at", c["a3"].try_cast("double"))
         # an occurrence that IS an admin context of a preceding mention is
-        # context, not a mention — drop all its candidates
-        is_ctx_occ = F.exists(
-            kept, lambda a: a["is_adm1"] & (a["start"] == c["start"])
-            & (a["n"] == c["n"])) & F.exists(
+        # context, not a mention — drop all its candidates. First conjunct
+        # (old: exists kept a, a.is_adm1 & same (start, n)) == this
+        # occurrence carries a capped ADM1 candidate.
+        is_ctx_occ = (F.size(c["adm1_keys"]) > 0) & F.exists(
             kept, lambda m: (m["start"] + m["n"] + 1 == c["start"])
-            & (tok(m["start"] + m["n"]) == ","))
+            & (m["a1"] == ","))
         return F.struct(
             c["start"].alias("start"), c["n"].alias("n"),
-            F.concat_ws(" ", F.slice(toks, c["start"] + 1, c["n"]))
-            .alias("mention_text"),
-            c["geoname_id"].alias("geoname_id"),
-            admin_hit.alias("admin_hit"),
+            c["gram"].alias("mention_text"),
+            adm_ctx_keys.alias("adm_ctx_keys"),
             ctx_lat.alias("ctx_lat"), ctx_lon.alias("ctx_lon"),
             is_ctx_occ.alias("is_ctx_occ"))
 
@@ -255,24 +274,19 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
                "doc_id", "span_offset", F.col("m.start").alias("start"),
                F.col("m.n").alias("n"),
                F.col("m.mention_text").alias("mention_text"),
-               F.col("m.geoname_id").alias("geoname_id"),
-               F.col("m.admin_hit").alias("admin_hit"),
+               F.lower(F.col("m.mention_text")).alias("gram_norm"),
+               F.col("m.adm_ctx_keys").alias("adm_ctx_keys"),
                F.col("m.ctx_lat").alias("ctx_lat"),
                F.col("m.ctx_lon").alias("ctx_lon"),
                F.col("m.is_ctx_occ").alias("is_ctx_occ")))
-    # scoring attributes rejoin map-side from the place dim (same
-    # broadcastability class as the alias map itself)
-    is_hist = F.col("feature_code").isin(*HISTORICAL_FEATURE_CODES)
-    if "dissolved_date" in places.columns:
-        is_hist = is_hist | F.col("dissolved_date").isNotNull()
-    pl = places.select(
-        "geoname_id", "population",
-        F.col("latitude").alias("cand_lat"),
-        F.col("longitude").alias("cand_lon"),
-        is_hist.alias("is_hist"))
-    if broadcast_aliases:
-        pl = F.broadcast(pl)
-    out = out.join(pl, "geoname_id")
+    # candidate fan-out + every scoring attribute attach in ONE broadcast
+    # join against the capped alias map (which carries the place attrs) —
+    # the join input is output-sized (surviving occurrences only)
+    amj = F.broadcast(am) if broadcast_aliases else am
+    out = (out.join(amj, out.gram_norm == amj.alias_norm, "inner")
+           .withColumn("admin_hit",
+                       F.array_contains(F.col("adm_ctx_keys"),
+                                        F.col("adm_key"))))
     d = haversine_km(F.col("ctx_lat"), F.col("ctx_lon"),
                      F.col("cand_lat"), F.col("cand_lon"))
     geo_conf = F.when(F.col("ctx_lat").isNotNull()
@@ -371,13 +385,19 @@ def fuzzy_candidates(grams: DataFrame, places: DataFrame,
     g_keys = distinct_grams.withColumn("ch_key", F.explode(F.array(
         F.concat(F.lit("f"), F.substring("gram_norm", 1, 1)),
         F.concat(F.lit("l"), F.substring("gram_norm", -1, 1)))))
+    # bounded levenshtein (Spark 3.5+): with the threshold the kernel is
+    # O(len * max_dist) per pair and early-exits, vs O(len^2) unbounded —
+    # the refine step runs on every blocked pair, so this is the hot
+    # inner loop of the fuzzy path (round-6: 378 CPU-s at sf0.1 before).
+    # Returns -1 above the threshold, so `1 <= lev` == the old
+    # `0 < lev <= max_dist` and surviving lev values are unchanged.
     hits = (g_keys.join(
         am_keys,
         (g_keys.gram_len == am_keys.len_key) & (g_keys.n == am_keys.alias_n)
         & (g_keys.ch_key == am_keys.ch_key), "inner")
         .withColumn("lev", F.levenshtein(F.col("gram_norm"),
-                                         F.col("alias_norm")))
-        .where((F.col("lev") > 0) & (F.col("lev") <= max_dist))
+                                         F.col("alias_norm"), max_dist))
+        .where(F.col("lev") >= 1)
         .select("gram", "gram_norm", "n", "gram_len", "geoname_id", "lev")
         .distinct())
     # exact-visible surfaces, restricted to the exact path's 2-60 char

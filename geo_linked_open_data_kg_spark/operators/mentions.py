@@ -99,34 +99,67 @@ def alias_first_tokens(am: DataFrame) -> DataFrame:
             .where(F.col("ft") != "").distinct())
 
 
-def position_ngram_candidates(pos: DataFrame,
-                              max_n: int = MAX_NGRAM) -> DataFrame:
-    """Grams built only at the start positions in `pos`
-    (doc_id, span_offset, tokens, start) — shared tail of the pruned
-    gram generators below."""
-    size = F.size("tokens")
+def position_windows(spans: DataFrame, window_len: int) -> DataFrame:
+    """One row per token position: (doc_id, span_offset, start, w) with
+    w = the next `window_len` tokens starting at `start` (truncated at
+    span end).
+
+    The round-5 shape posexploded tokens while CARRYING the full token
+    array on every exploded row — O(T^2) array-copy traffic per span in
+    the generate node. Exploding precomputed fixed-width windows keeps
+    the generate linear in span length and lets downstream consumers
+    drop the tokens column entirely (guide §2.3: project before wide
+    operators)."""
+    toks = F.col("tokens")
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: i < F.size(toks))
+    pw = F.transform(
+        idx,
+        lambda i: F.struct(i.cast("int").alias("start"),
+                           F.slice(toks, i + 1, window_len).alias("w")))
+    return (spans
+            .select("doc_id", "span_offset", F.explode(pw).alias("p"))
+            .select("doc_id", "span_offset",
+                    F.col("p.start").alias("start"),
+                    F.col("p.w").alias("w")))
+
+
+def grams_from_windows(pos: DataFrame, max_n: int = MAX_NGRAM,
+                       n_after: int = 0) -> DataFrame:
+    """Grams 1..max_n built from position windows. `n_after` > 0 also
+    emits the first n_after tokens FOLLOWING each gram (columns a1..ak,
+    null past span end) — the linking cascade's context tokens, captured
+    here so no consumer ever has to re-join the corpus tokens."""
+    w = F.col("w")
 
     def make(n: int):
-        return F.when(
-            F.col("start") + n <= size,
-            F.struct(F.col("start").cast("int").alias("start"),
-                     F.lit(n).alias("n"),
-                     F.concat_ws(" ", F.slice(F.col("tokens"),
-                                              F.col("start") + 1, n))
-                     .alias("gram")))
+        fields = [F.lit(n).alias("n"),
+                  F.concat_ws(" ", F.slice(w, 1, n)).alias("gram")]
+        for j in range(1, n_after + 1):
+            # w[k] (1-based) = tokens[start + k - 1]; try_element_at
+            # returns null past the (truncated) window end — the oracle's
+            # out-of-bounds-NULL indexing semantics (plain element_at
+            # raises under Spark 4 ANSI)
+            fields.append(F.try_element_at(w, F.lit(n + j)).alias(f"a{j}"))
+        # a window shorter than n means start + n > span length — no gram
+        return F.when(F.size(w) >= n, F.struct(*fields))
 
     arr = F.array_compact(F.array(*[make(n) for n in range(1, max_n + 1)]))
+    after_cols = [F.col(f"ng.a{j}").alias(f"a{j}")
+                  for j in range(1, n_after + 1)]
     return (pos
-            .select("doc_id", "span_offset", F.explode(arr).alias("ng"))
-            .select("doc_id", "span_offset",
-                    F.col("ng.start").alias("start"),
+            .select("doc_id", "span_offset", "start",
+                    F.explode(arr).alias("ng"))
+            .select("doc_id", "span_offset", "start",
                     F.col("ng.n").alias("n"),
-                    F.col("ng.gram").alias("gram"))
+                    F.col("ng.gram").alias("gram"), *after_cols)
             .withColumn("gram_norm", F.lower(F.col("gram"))))
 
 
 def pruned_ngram_candidates(spans: DataFrame, first_tokens: DataFrame,
-                            max_n: int = MAX_NGRAM) -> DataFrame:
+                            max_n: int = MAX_NGRAM,
+                            n_after: int = 0) -> DataFrame:
     """N-grams generated ONLY at token positions whose lowercased token
     is the first token of some gazetteer alias.
 
@@ -138,12 +171,10 @@ def pruned_ngram_candidates(spans: DataFrame, first_tokens: DataFrame,
     detection at scale. The pruning join is a broadcast LEFT SEMI
     against a vocabulary-sized dim: no shuffle.
     """
-    pos = (spans
-           .select("doc_id", "span_offset", "tokens",
-                   F.posexplode("tokens").alias("start", "tok"))
-           .withColumn("ft", F.lower(F.col("tok")))
+    pos = (position_windows(spans, max_n + n_after)
+           .withColumn("ft", F.lower(F.element_at(F.col("w"), 1)))
            .join(F.broadcast(first_tokens), "ft", "left_semi"))
-    return position_ngram_candidates(pos, max_n)
+    return grams_from_windows(pos, max_n, n_after)
 
 
 def capitalized_ngram_candidates(spans: DataFrame,
@@ -152,11 +183,9 @@ def capitalized_ngram_candidates(spans: DataFrame,
     (`^[A-Z][a-z]`) — lossless for the fuzzy-fallback path, which
     filters grams to exactly that shape: a gram is capitalized iff its
     first token is. Pure filter before construction, no join."""
-    pos = (spans
-           .select("doc_id", "span_offset", "tokens",
-                   F.posexplode("tokens").alias("start", "tok"))
-           .where(F.col("tok").rlike("^[A-Z][a-z]")))
-    return position_ngram_candidates(pos, max_n)
+    pos = (position_windows(spans, max_n)
+           .where(F.element_at(F.col("w"), 1).rlike("^[A-Z][a-z]")))
+    return grams_from_windows(pos, max_n)
 
 
 def detect_mentions(documents: DataFrame, places: DataFrame,
@@ -171,13 +200,18 @@ def detect_mentions(documents: DataFrame, places: DataFrame,
     candidates per occurrence to the top `cap` by (population DESC,
     geoname_id ASC) — the reference's LIMIT 20 (reconcile.py:61-63).
 
-    The whole operator is ONE shuffle: a broadcast alias join, then a
-    span-local groupBy where containment resolution runs as higher-order
-    array expressions (no self-joins). Only (start, n, geoname_id) is
-    shuffled per hit — the surface string (the widest hit column) is
-    rebuilt from the span's tokens after the groupBy, and the candidate
-    cap is applied on the vocabulary-sized alias map (per-alias fan-out ==
-    per-occurrence candidate set), not the corpus-sized hit stream.
+    The whole operator is ONE shuffle, and that shuffle carries ONE row
+    per matched occurrence — never the alias fan-out. Longest-match
+    containment depends only on which (start, n) windows matched (a
+    surviving surface keeps ALL its candidate gids, a dominated one
+    keeps none), so the occurrence DECISION is made on a fan-out-free
+    stream (one semi-join against the distinct surface vocabulary) and
+    the candidate gids are attached AFTER the decision via the broadcast
+    alias map (guide §8: decide with small rows, attach the heavy
+    fan-out once). Measured at sf0.1: 36.8M hit rows collapse to 720k
+    occurrence rows (51x) entering the per-span groupBy. The surface
+    string rides the occurrence struct, so the old corpus-wide
+    tokens-rebuild join is gone entirely.
     """
     am = alias_map(places, with_population=cap is not None)
     if grams is None:
@@ -192,31 +226,32 @@ def detect_mentions(documents: DataFrame, places: DataFrame,
                       F.col("geoname_id").asc()))
         am = (am.withColumn("cr", F.row_number().over(w))
               .where(F.col("cr") <= cap).drop("cr", "population"))
-    if broadcast_aliases:
-        am = F.broadcast(am)
-    cand_cols = ["start", "n", "geoname_id"]
-    hits = (grams.join(am, grams.gram_norm == am.alias_norm, "inner")
-            .select("doc_id", "span_offset", *cand_cols))
-
-    per_span = (hits.groupBy("doc_id", "span_offset")
-                .agg(F.collect_set(F.struct("start", "n")).alias("occs"),
-                     F.collect_list(F.struct(*cand_cols)).alias("cands")))
-    spans = text_spans(documents).select("doc_id", "span_offset", "tokens")
+    # occurrence stream: one row per (span, start, n) whose surface is in
+    # the vocabulary — the cap keeps >= 1 candidate per surface, so the
+    # matched-occurrence set is cap-invariant. Semi-join dims tolerate
+    # duplicate keys: the dedup-free alias stream costs zero exchanges.
+    vocab = alias_map(places, dedup=False).select("alias_norm")
+    occ = grams.join(F.broadcast(vocab),
+                     grams.gram_norm == vocab.alias_norm, "left_semi")
+    per_span = (occ.groupBy("doc_id", "span_offset")
+                .agg(F.collect_list(
+                    F.struct("start", "n", "gram")).alias("occs")))
     kept = F.filter(
-        F.col("cands"),
+        F.col("occs"),
         lambda c: ~F.exists(
             F.col("occs"),
             lambda o: (o["start"] <= c["start"])
             & (o["start"] + o["n"] >= c["start"] + c["n"])
             & (o["n"] > c["n"])))
-    return (per_span.join(spans, ["doc_id", "span_offset"])
-            .select("doc_id", "span_offset", "tokens",
-                    F.explode(kept).alias("m"))
+    surv = (per_span
+            .select("doc_id", "span_offset", F.explode(kept).alias("m"))
             .select("doc_id", "span_offset",
                     F.col("m.start").alias("start"),
                     F.col("m.n").alias("n"),
-                    F.concat_ws(" ", F.slice(F.col("tokens"),
-                                             F.col("m.start") + 1,
-                                             F.col("m.n")))
-                    .alias("mention_text"),
-                    F.col("m.geoname_id").alias("geoname_id")))
+                    F.col("m.gram").alias("mention_text"),
+                    F.lower(F.col("m.gram")).alias("gram_norm")))
+    if broadcast_aliases:
+        am = F.broadcast(am)
+    return (surv.join(am, surv.gram_norm == am.alias_norm, "inner")
+            .select("doc_id", "span_offset", "start", "n", "mention_text",
+                    "geoname_id"))

@@ -940,10 +940,13 @@ def kg_fuzzy_postal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & F.col("admin1_code").isNotNull())
          .select(F.lower(F.trim(F.col("name"))).alias("g_name"),
                  "country_code", "admin1_code", "geoname_id"))
-    lev = F.levenshtein(F.col("norm_name"), F.col("g_name"))
+    # bounded levenshtein (threshold=2, round 6): O(len*2) early-exit per
+    # pair instead of O(len^2); returns -1 above 2, so `>= 1` == the old
+    # BETWEEN 1 AND 2 and surviving lev values are identical
+    lev = F.levenshtein(F.col("norm_name"), F.col("g_name"), 2)
     return (po.join(g, ["country_code", "admin1_code"])
             .where(F.abs(F.length("norm_name") - F.length("g_name")) <= 2)
-            .where(lev.between(1, 2))
+            .where(lev >= 1)
             .select(F.concat(F.lit("po:"), F.col("id_number")).alias("subj"),
                     F.lit("fuzzyMatch").alias("pred"),
                     F.concat(F.lit("gn:"), F.col("geoname_id")).alias("obj"),

@@ -41,6 +41,19 @@ def get_spark(app: str = "geo_kg", cores: int | None = None,
                 os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Input-split sizing (round 6, guide §6): maxSplitBytes =
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum)),
+        # so the 4 MB openCost default FLOORS split size and serializes
+        # small-input scans (an 8 MB corpus became 3 map tasks on 32
+        # cores — measured as the bench's #1 wall bottleneck). 128 KB
+        # matches local NVMe/page-cache seek cost and lets split count
+        # track defaultParallelism; at scale bytes/minPartitionNum
+        # dominates and splits stay at maxPartitionBytes (128 MB), so
+        # this does NOT shrink large-scan splits. On object storage
+        # (high per-file open latency) override via SPARK_GRAFT_OPEN_COST
+        # back to 4194304.
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST", "131072"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
