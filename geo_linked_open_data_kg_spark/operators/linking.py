@@ -117,9 +117,43 @@ def corpus_stop_surfaces(grams: DataFrame, n_docs: int,
     return stop
 
 
+def combined_gram_streams(documents: DataFrame,
+                          places: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """ONE corpus position pass serving BOTH cascade branches (guide
+    §2.4: shared scans): positions are kept when the first token is
+    capitalized (fuzzy branch) OR starts some gazetteer alias (exact
+    branch, broadcast first-token dim), flags ride each gram row, and
+    the stream is lazily localCheckpointed so the two consumers split it
+    by flag instead of re-exploding the corpus. Returns
+    (exact_grams — with a1..a3 context tokens, cap_grams)."""
+    from geo_linked_open_data_kg_spark.operators.mentions import (
+        MAX_NGRAM,
+        alias_first_tokens,
+        grams_from_windows,
+        position_windows,
+    )
+    ftd = (alias_first_tokens(alias_map(places, dedup=False))
+           .withColumn("in_vocab", F.lit(True)))
+    first_tok = F.element_at(F.col("w"), 1)
+    pos = (position_windows(text_spans(documents), MAX_NGRAM + 3)
+           .withColumn("ft", F.lower(first_tok))
+           .withColumn("is_cap", first_tok.rlike("^[A-Z][a-z]"))
+           .join(F.broadcast(ftd), "ft", "left")
+           .where(F.col("is_cap") | F.col("in_vocab").isNotNull()))
+    grams_all = (grams_from_windows(pos, MAX_NGRAM, n_after=3,
+                                    carry=["is_cap", "in_vocab"])
+                 .localCheckpoint(eager=False))
+    exact = (grams_all.where(F.col("in_vocab"))
+             .drop("is_cap", "in_vocab"))
+    cap_g = (grams_all.where(F.col("is_cap"))
+             .drop("is_cap", "in_vocab", "a1", "a2", "a3"))
+    return exact, cap_g
+
+
 def scored_exact_candidates(documents: DataFrame, places: DataFrame,
                             broadcast_aliases: bool = True,
-                            cap: int = MAX_CANDIDATES_PER_OCC) -> DataFrame:
+                            cap: int = MAX_CANDIDATES_PER_OCC,
+                            grams: DataFrame | None = None) -> DataFrame:
     """Fused stage 1+2 exact path: detection, longest-match containment,
     admin/coordinate context attachment (reconcile.py:158-195/:113-156)
     and strategy scoring, all as span-local array expressions behind ONE
@@ -145,11 +179,14 @@ def scored_exact_candidates(documents: DataFrame, places: DataFrame,
     # (the `,`/`at` separators and the two coordinate tokens) is a
     # function of those, so the corpus tokens never have to be re-joined
     # after the groupBy — the round-5 tokens-rebuild join (a corpus-wide
-    # exchange+sort on the query path) is gone (round-6, guide §2.4)
-    grams = (pruned_ngram_candidates(text_spans(documents),
-                                     alias_first_tokens(base_am),
-                                     n_after=3)
-             .where(F.length("gram_norm").between(2, 60)))
+    # exchange+sort on the query path) is gone (round-6, guide §2.4).
+    # `grams` lets link_mentions pass the shared exact+fuzzy stream
+    # (combined_gram_streams) instead of re-exploding the corpus here.
+    if grams is None:
+        grams = pruned_ngram_candidates(text_spans(documents),
+                                        alias_first_tokens(base_am),
+                                        n_after=3)
+    grams = grams.where(F.length("gram_norm").between(2, 60))
     # per-candidate attributes are packed into one short adm_key string;
     # null sentinel is chr(1) (a control char that cannot occur in admin
     # codes), so a NULL code and an empty-string code stay DISTINCT and
@@ -498,8 +535,14 @@ def link_mentions(documents: DataFrame, places: DataFrame,
     it pinned, linking is per-document and drop order cannot change any
     result.
     """
+    # ONE corpus position pass feeds both branches when fuzzy is on
+    # (combined_gram_streams); exact-only callers keep the pruned stream
+    exact_grams = cap_grams = None
+    if with_fuzzy:
+        exact_grams, cap_grams = combined_gram_streams(documents, places)
     exact_all = scored_exact_candidates(documents, places,
-                                        broadcast_aliases=broadcast_aliases)
+                                        broadcast_aliases=broadcast_aliases,
+                                        grams=exact_grams)
     strategies = (exact_all.where(~F.col("is_ctx_occ"))
                   .select(*OCC_KEYS, "mention_text", "geoname_id",
                           "strategy", "confidence", "population"))
@@ -541,17 +584,11 @@ def link_mentions(documents: DataFrame, places: DataFrame,
     if with_fuzzy:
         # the fuzzy path only ever looks at capitalized grams, so gram
         # construction is position-filtered to capitalized tokens
-        # (lossless); the same pruned stream feeds the DF-derived
-        # stoplist. Fuzzy suppression uses ALL exact occurrences,
-        # including admin-context ones.
-        from geo_linked_open_data_kg_spark.operators.mentions import (
-            capitalized_ngram_candidates,
-        )
-        # two consumers read this stream (surface stats, occurrence
-        # rejoin) — materialize it once instead of re-running the
-        # posexplode per DAG branch
-        grams = (capitalized_ngram_candidates(text_spans(documents))
-                 .localCheckpoint(eager=False))
+        # (lossless). The capitalized stream is a flag-filter over the
+        # SHARED checkpointed position pass (combined_gram_streams) —
+        # no second corpus explode. Fuzzy suppression uses ALL exact
+        # occurrences, including admin-context ones.
+        grams = cap_grams
         # ONE corpus-level pass serves both the stoplist and the fuzzy
         # surface vocabulary (round-3 VERDICT item 3); two vocab-sized
         # consumers, so cut the plan once more

@@ -126,12 +126,16 @@ def position_windows(spans: DataFrame, window_len: int) -> DataFrame:
 
 
 def grams_from_windows(pos: DataFrame, max_n: int = MAX_NGRAM,
-                       n_after: int = 0) -> DataFrame:
+                       n_after: int = 0,
+                       carry: list[str] | None = None) -> DataFrame:
     """Grams 1..max_n built from position windows. `n_after` > 0 also
     emits the first n_after tokens FOLLOWING each gram (columns a1..ak,
     null past span end) — the linking cascade's context tokens, captured
-    here so no consumer ever has to re-join the corpus tokens."""
+    here so no consumer ever has to re-join the corpus tokens. `carry`
+    names extra position-level columns to keep on every gram row (the
+    shared exact+fuzzy stream's membership flags)."""
     w = F.col("w")
+    carry = carry or []
 
     def make(n: int):
         fields = [F.lit(n).alias("n"),
@@ -149,11 +153,11 @@ def grams_from_windows(pos: DataFrame, max_n: int = MAX_NGRAM,
     after_cols = [F.col(f"ng.a{j}").alias(f"a{j}")
                   for j in range(1, n_after + 1)]
     return (pos
-            .select("doc_id", "span_offset", "start",
+            .select("doc_id", "span_offset", "start", *carry,
                     F.explode(arr).alias("ng"))
             .select("doc_id", "span_offset", "start",
                     F.col("ng.n").alias("n"),
-                    F.col("ng.gram").alias("gram"), *after_cols)
+                    F.col("ng.gram").alias("gram"), *after_cols, *carry)
             .withColumn("gram_norm", F.lower(F.col("gram"))))
 
 

@@ -101,17 +101,33 @@ class CheckpointStore:
         spark = df.sparkSession
         out = self.read(spark, stage)
 
-        lineage = (out.groupBy(F.spark_partition_id().alias("partition_id"))
-                   .agg(F.count("*").alias("n_rows"))
+        # ONE scan of the stage output serves lineage AND every metric
+        # (round 6): the (partition, pred) count cube is tiny (partitions
+        # x preds), so it is cached and both tables derive from it —
+        # previously lineage, the total count and the per-pred counts
+        # each re-scanned the written parquet (3-4 jobs per stage, ~18
+        # extra jobs per pipeline run of pure serial latency).
+        has_pred = "pred" in out.columns
+        gcols = [F.spark_partition_id().alias("partition_id")]
+        if has_pred:
+            gcols.append(F.col("pred"))
+        counts = (out.groupBy(*gcols)
+                  .agg(F.count("*").alias("n_rows"))
+                  .persist())
+
+        lineage = (counts.groupBy("partition_id")
+                   .agg(F.sum("n_rows").alias("n_rows"))
                    .withColumn("stage", F.lit(label)))
         lineage.write.mode("overwrite").parquet(
             os.path.join(self.root, "_lineage", stage))
 
-        metrics = out.agg(F.count("*").alias("value")).select(
+        metrics = counts.agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("value")).select(
             F.lit(label).alias("stage"), F.lit("n_rows").alias("metric"),
             F.col("value"))
-        if "pred" in out.columns:
-            per_pred = (out.groupBy("pred").agg(F.count("*").alias("value"))
+        if has_pred:
+            per_pred = (counts.groupBy("pred")
+                        .agg(F.sum("n_rows").alias("value"))
                         .select(F.lit(label).alias("stage"),
                                 F.concat(F.lit("n_triples:"),
                                          F.col("pred")).alias("metric"),
@@ -124,6 +140,7 @@ class CheckpointStore:
             metrics = metrics.unionByName(extra)
         metrics.write.mode("overwrite").parquet(
             os.path.join(self.root, "_metrics", stage))
+        counts.unpersist()
         return out
 
     def get_or_compute(self, spark: SparkSession, stage: str, compute,

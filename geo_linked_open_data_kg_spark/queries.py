@@ -1205,7 +1205,19 @@ def _aug_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = (docs.where(F.col("doc_id") % 13 == 0)
             .select((F.col("doc_id") + 2000000).alias("doc_id"),
                     F.regexp_replace("text", r"\s+\S+$", "").alias("text")))
-    return docs.unionByName(exact).unionByName(near)
+    out = docs.unionByName(exact).unionByName(near)
+    # The driver's documents.parquet at bench scale is a single
+    # unsplittable row group, so every dedup operator's map work
+    # (tokenize, shingle, hash) otherwise runs on ONE task (guide §2.5:
+    # unsplittable input — repartition right after the read). Clustering
+    # by the doc_id COLUMN also lets the per-doc groupBys downstream
+    # elide their exchanges. Scale-adaptive: skipped whenever the scan
+    # already yields enough splits (any real multi-file/multi-row-group
+    # table), so no corpus-sized shuffle is ever added at scale.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        out = out.repartition(par, F.col("doc_id"))
+    return out
 
 
 @register("td_exact_duplicates", f"""
