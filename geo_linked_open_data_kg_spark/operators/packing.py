@@ -75,7 +75,15 @@ def sequence_packing(documents: DataFrame,
          .rowsBetween(Window.unboundedPreceding, -1))
     prefix = (F.coalesce(F.col("base"), F.lit(0))
               + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))).cast("long")
+    # integer `div`, not floor over a double quotient (round-6 ADVICE):
+    # `/` on longs promotes to double, which is exact only while the
+    # prefix sums stay under 2^53 and the budget is a power of two —
+    # a non-power-of-two budget at very large corpora could misround
+    # the quotient and diverge from the oracle's integer `//`
     return (part.join(F.broadcast(base_df), "pid", "left")
             .select("doc_id", "n_tokens",
-                    F.floor(prefix / budget).cast("long").alias("seq_id"),
-                    (prefix % budget).cast("long").alias("seq_offset")))
+                    prefix.alias("_p"))
+            .select("doc_id", "n_tokens",
+                    F.expr(f"_p div {int(budget)}").cast("long")
+                    .alias("seq_id"),
+                    (F.col("_p") % budget).cast("long").alias("seq_offset")))

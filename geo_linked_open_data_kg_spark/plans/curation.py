@@ -218,11 +218,14 @@ def _funnel_table(documents: DataFrame, quality: DataFrame,
          dup_groups.where(~F.col("is_keeper")).count()),
         ("contaminated_dropped", contamination.count()),
         ("curated_docs", curated.count()),
-        ("sequences_packed",
-         sequences.agg(F.countDistinct("seq_id")).collect()[0][0] or 0),
-        ("tokens_packed",
-         sequences.agg(F.sum("n_tokens")).collect()[0][0] or 0),
     ]
+    # one job for both sequence metrics (round 6 — the old shape ran
+    # two separate 1-row aggregates over the same table)
+    seq_row = sequences.agg(
+        F.countDistinct("seq_id").alias("s"),
+        F.sum("n_tokens").alias("t")).collect()[0]
+    scalars.append(("sequences_packed", seq_row["s"] or 0))
+    scalars.append(("tokens_packed", seq_row["t"] or 0))
     scalar_df = documents.sparkSession.createDataFrame(
         [(s, int(v)) for s, v in scalars], "step string, value long")
     return scalar_df.unionByName(per_rule)
