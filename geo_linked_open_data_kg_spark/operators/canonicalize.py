@@ -57,28 +57,13 @@ def connected_components(edges: DataFrame, src: str = "subj",
     never silently return partial components; strict=False records
     converged=False in LAST_CC_STATS instead for callers that audit."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # Partition budget for the iterated label tables (round 6): a
-    # localCheckpoint freezes its tail-shuffle partition count (AQE does
-    # not coalesce an RDD-conversion tail), so every CC round was
-    # scheduling `spark.sql.shuffle.partitions` tasks over a table that
-    # is KBs at bench scale — ~10 stages x 256 near-empty tasks of pure
-    # scheduler latency per run. Coalesce each checkpoint to a budget
-    # that tracks the INPUT's scan parallelism (scale-adaptive: a
-    # 100 TB edge set arrives with thousands of splits and keeps them;
-    # the bench's 30 k-edge set collapses to the core count). coalesce()
-    # is a narrow merge — no extra shuffle.
-    p = max(edges.sparkSession.sparkContext.defaultParallelism,
-            edges.rdd.getNumPartitions())
-
     sym = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .where(F.col("a") != F.col("b"))
            .distinct()
-           .coalesce(p)
            .localCheckpoint(eager=_CC_EAGER))
 
     labels = (sym.select(F.col("a").alias("node"))
               .distinct()
-              .coalesce(p)
               .withColumn("component", F.col("node"))
               .localCheckpoint(eager=_CC_EAGER))
 
@@ -105,7 +90,7 @@ def connected_components(edges: DataFrame, src: str = "subj",
                           .select("node",
                                   F.coalesce("c_comp", "component")
                                   .alias("component")))
-        new_labels = new_labels.coalesce(p).localCheckpoint(eager=_CC_EAGER)
+        new_labels = new_labels.localCheckpoint(eager=_CC_EAGER)
         old = labels
         labels = new_labels
         rounds_run = it + 1

@@ -111,8 +111,16 @@ class CheckpointStore:
         gcols = [F.spark_partition_id().alias("partition_id")]
         if has_pred:
             gcols.append(F.col("pred"))
+        # coalesce(1) BEFORE persist: cached plans do not get AQE
+        # partition coalescing (canChangeCachedPlanOutputPartitioning
+        # defaults false), so without it the tiny cube materializes and
+        # is re-read at the full shuffle-partition count — measured as
+        # ~22 extra 256-task stages per pipeline run. The cube is
+        # (partitions x preds) rows, so one partition holds it at any
+        # corpus size.
         counts = (out.groupBy(*gcols)
                   .agg(F.count("*").alias("n_rows"))
+                  .coalesce(1)
                   .persist())
 
         lineage = (counts.groupBy("partition_id")
