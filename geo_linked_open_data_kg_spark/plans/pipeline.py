@@ -82,19 +82,20 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     fprio = load(spark, sf_dir, "feature_priority")
     wprio = load(spark, sf_dir, "wd_type_priority")
 
-    linked = ckpt.get_or_compute(
-        spark, "linked_mentions",
-        # n_docs from the raw scan (row-group stats count) — counting
-        # the repartitioned df would run the corpus exchange twice
-        lambda: linking.link_mentions(
-            docs, places, n_docs=raw_docs.count(),
-            fuzzy_max_seen=(fuzzy_max_seen if fuzzy_max_seen is not None
-                            else linking.FUZZY_MAX_SEEN)),
-        force=force)
-
-    mention_t = ckpt.get_or_compute(
-        spark, "mention_triples",
-        lambda: linking.mention_triples(linked), force=force)
+    def _linked_chain() -> tuple[DataFrame, DataFrame]:
+        linked = ckpt.get_or_compute(
+            spark, "linked_mentions",
+            # n_docs from the raw scan (row-group stats count) — counting
+            # the repartitioned df would run the corpus exchange twice
+            lambda: linking.link_mentions(
+                docs, places, n_docs=raw_docs.count(),
+                fuzzy_max_seen=(fuzzy_max_seen if fuzzy_max_seen is not None
+                                else linking.FUZZY_MAX_SEEN)),
+            force=force)
+        mention_t = ckpt.get_or_compute(
+            spark, "mention_triples",
+            lambda: linking.mention_triples(linked), force=force)
+        return linked, mention_t
 
     def _gaz():
         # every edge family the reference loads (load_post_offices.py:146,
@@ -121,8 +122,28 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
             out = out.unionByName(f.select(*TRIPLE_COLS))
         return out
 
-    gaz_triples = ckpt.get_or_compute(
-        spark, "gazetteer_triples", _gaz, force=force)
+    # The three leading stage chains are mutually independent:
+    # linked_mentions(+mention_triples), gazetteer_triples, and nodes.
+    # Run them as concurrent driver threads (guide §2.6: actions are
+    # only sequential because the driver calls them sequentially) so the
+    # scheduler backfills one chain's straggler tail with the next
+    # chain's tasks. FIFO scheduling keeps the first-submitted (longest)
+    # chain prioritized; resume semantics are unchanged — each stage
+    # still checks its own checkpoint independently.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_linked = pool.submit(_linked_chain)
+        f_gaz = pool.submit(
+            lambda: ckpt.get_or_compute(
+                spark, "gazetteer_triples", _gaz, force=force))
+        f_nodes = pool.submit(
+            lambda: ckpt.get_or_compute(
+                spark, "nodes",
+                lambda: build_nodes(places, wd, persons, orgs, post_offices),
+                partition_by=["label"], force=force))
+        linked, mention_t = f_linked.result()
+        gaz_triples = f_gaz.result()
+        nodes = f_nodes.result()
 
     from geo_linked_open_data_kg_spark.operators import canonicalize
 
@@ -145,11 +166,6 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         extra_metrics_fn=lambda: [
             ("cc_rounds_run", cc_stats.get("rounds_run", -1)),
             ("cc_converged", int(cc_stats.get("converged", False)))])
-
-    nodes = ckpt.get_or_compute(
-        spark, "nodes",
-        lambda: build_nodes(places, wd, persons, orgs, post_offices),
-        partition_by=["label"], force=force)
 
     def _edges() -> DataFrame:
         # north rule: node/edge tables "partitioned by H3 cell and
